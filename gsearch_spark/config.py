@@ -1,0 +1,103 @@
+"""Pipeline configuration — the analog of the reference's ``parameters.json``.
+
+The reference persists its sketch + index parameters next to the index and
+*refuses* to add/query with a different config (gsearch
+``src/utils/parameters.rs:178-218``, reload-on-add at
+``src/bin/gsearch.rs:714-742``).  We keep the same discipline: the config is
+hashed, persisted beside every checkpoint, and a resume with a different
+config hash is an error (same shingle/signature config => reproducible
+clusters, which the recall>=0.99 target depends on).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import os
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """All knobs that change signatures, candidates, or verification.
+
+    Mirrors the reference's ``SeqSketcherParams`` + ``ProcessingParams``
+    (gsearch ``src/utils/parameters.rs:139-147``): ``kmer_size`` ->
+    ``caption_kgram``/``phash_shingle_bits``, ``sketch_size`` ->
+    ``sketch_size``, ``algo`` -> ``algo``, and the HNSW build/search knobs
+    (ef, nbng) -> the LSH (bands, rows_per_band, band_salts) trade-off.
+    """
+
+    seed: int = 42
+    # --- shingling (reference: k-mer generation, src/dna/dnasketch.rs:499-518)
+    caption_kgram: int = 5           # caption character k-grams
+    phash_shingle_bits: int = 16     # width of phash bit n-gram shingles
+    pixel_block: int = 8             # SimHash pixel feature block size
+    # --- signature (reference: --algo optdens, src/dna/dnasketch.rs:600-620)
+    sketch_size: int = 128           # minhash slots (reference -s, <=65535)
+    algo: str = "optdens"            # optdens | revoptdens
+    simhash_bits: int = 64
+    # --- LSH banding (replaces HNSW ef/nbng quality-cost knobs)
+    bands: int = 16
+    rows_per_band: int = 8
+    band_salts: int = 4              # max sub-buckets for hot bands
+    hot_band_threshold: int = 64     # band sizes above this get salted
+    simhash_bands: int = 4           # 64-bit simhash split into 16-bit bands
+    # --- verification (BASELINE.json input_hint invariant)
+    psnr_min_db: float = 40.0
+    caption_equality: str = "normalized"
+    # --- execution
+    shuffle_partitions: int = 32
+    pair_cap_per_bucket: int = 2000  # hard guard against pair explosion
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.sketch_size:
+            raise ValueError(
+                f"bands*rows_per_band ({self.bands}*{self.rows_per_band}) "
+                f"must equal sketch_size ({self.sketch_size})"
+            )
+        if self.algo not in ("optdens", "revoptdens"):
+            raise ValueError(f"unknown algo {self.algo!r}")
+        if self.simhash_bits != 64:
+            raise ValueError("only 64-bit simhash supported")
+        if self.caption_kgram < 1:
+            raise ValueError("caption_kgram must be >= 1")
+
+    # -- persistence (parameters.json discipline) --------------------------
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), sort_keys=True, indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> "PipelineConfig":
+        return cls(**json.loads(text))
+
+    def config_hash(self) -> str:
+        """Stable hash over every signature-affecting field."""
+        return hashlib.sha256(
+            json.dumps(dataclasses.asdict(self), sort_keys=True).encode()
+        ).hexdigest()[:16]
+
+    def dump(self, checkpoint_dir: str) -> str:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        path = os.path.join(checkpoint_dir, "parameters.json")
+        with open(path, "w") as f:
+            f.write(self.to_json())
+        return path
+
+    @classmethod
+    def reload(cls, checkpoint_dir: str) -> "PipelineConfig":
+        path = os.path.join(checkpoint_dir, "parameters.json")
+        with open(path) as f:
+            return cls.from_json(f.read())
+
+    def assert_matches(self, checkpoint_dir: str) -> None:
+        """Refuse mixed-config resume (gsearch src/bin/gsearch.rs:714-742)."""
+        stored = PipelineConfig.reload(checkpoint_dir)
+        if stored.config_hash() != self.config_hash():
+            raise ValueError(
+                "checkpoint was produced with a different pipeline config: "
+                f"stored={stored.config_hash()} current={self.config_hash()}; "
+                "refusing to resume (reference parameters.json discipline)"
+            )

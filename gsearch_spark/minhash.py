@@ -1,0 +1,103 @@
+"""One-permutation MinHash with optimal densification (vectorized numpy).
+
+This is our primary signature — the analog of the reference's recommended
+``--algo optdens`` sketcher (one-permutation MinHash + optimal
+densification, gsearch ``src/dna/dnasketch.rs:600-620``; ``revoptdens``
+variant at ``:622-642``; README recommends it as fastest at
+``README.md:679-680``).  Semantics follow the published algorithms
+(Li et al. NeurIPS 2012 one-permutation hashing; Shrivastava ICML 2017
+optimal densification); the exact bit-level rules below are this engine's
+contract, mirrored verbatim by the brute-force oracle in
+``gsearch_spark/oracle.py`` so dup-pair recall is measured under the SAME
+shingle/signature config (BASELINE.json north_rule).
+
+Slot rule:   bin(h)  = h mod S,  value(h) = h   (uint64, splitmix-mixed)
+Sketch slot: m[b]    = min{ value(h) : bin(h) = b }
+optdens:     empty bin b copies m[j] from the first non-empty donor
+             j = hash2(b, attempt) mod S, attempt = 1, 2, ...
+revoptdens:  same walk, but the copied value is re-mixed with the target
+             bin (hash2(m[j], b)) to decorrelate runs of empty bins.
+Empty set:   slot b = hash2(b, seed') — deterministic, item-independent
+             collisions are astronomically unlikely.
+
+Estimator (for tests / diagnostics): Jaccard(A, B) ~= fraction of equal
+slots — exactly the reference's Hamming-over-sketch-slots distance
+(``d = 1 - J``, gsearch ``src/bin/bindash.rs:93-97``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gsearch_spark.hashing import hash_pair_u64, hash_u64
+
+_U64 = np.uint64
+_EMPTY = np.iinfo(np.uint64).max  # sentinel: bin never hit
+_MAX_DENSIFY_ROUNDS = 256
+
+
+def minhash_batch(hashes: np.ndarray, row_ids: np.ndarray, n_rows: int,
+                  sketch_size: int, algo: str = "optdens",
+                  seed: int = 42) -> np.ndarray:
+    """Compute (n_rows, sketch_size) uint64 sketches for a batch of items.
+
+    ``hashes``: uint64 shingle hashes, ``row_ids``: which item each hash
+    belongs to.  Items with no shingles get the deterministic empty-set
+    signature.  Fully vectorized; the densification loop iterates over
+    attempts (a handful in practice), never over rows.
+    """
+    S = sketch_size
+    sketch = np.full((n_rows, S), _EMPTY, dtype=_U64)
+    if len(hashes) > 0:
+        hashes = np.asarray(hashes, dtype=_U64)
+        row_ids = np.asarray(row_ids, dtype=np.int64)
+        bins = (hashes % _U64(S)).astype(np.int64)
+        np.minimum.at(sketch, (row_ids, bins), hashes)
+
+    # rows with zero shingles -> deterministic empty signature
+    empty_rows = np.all(sketch == _EMPTY, axis=1)
+    if empty_rows.any():
+        slot_ids = np.arange(S, dtype=_U64)
+        fill = hash_u64(slot_ids, seed=seed ^ 0xE3B0)
+        # keep it distinct from any real value by construction (mixing)
+        sketch[empty_rows] = fill[None, :]
+
+    # optimal densification for remaining empty bins
+    need = sketch == _EMPTY
+    if need.any():
+        rows, cols = np.nonzero(need)
+        pending = np.ones(len(rows), dtype=bool)
+        out = np.zeros(len(rows), dtype=_U64)
+        for attempt in range(1, _MAX_DENSIFY_ROUNDS + 1):
+            if not pending.any():
+                break
+            idx = np.nonzero(pending)[0]
+            donor = (hash_pair_u64(cols[idx].astype(_U64),
+                                   np.full(len(idx), attempt, dtype=_U64),
+                                   seed=seed ^ 0xD15C) % _U64(S)
+                     ).astype(np.int64)
+            vals = sketch[rows[idx], donor]
+            ok = vals != _EMPTY
+            hit = idx[ok]
+            if algo == "revoptdens":
+                out[hit] = hash_pair_u64(vals[ok], cols[hit].astype(_U64),
+                                         seed=seed ^ 0x7EF5)
+            else:
+                out[hit] = vals[ok]
+            pending[hit] = False
+        if pending.any():
+            # pathological: almost-all-empty sketch; fall back to slot fill
+            idx = np.nonzero(pending)[0]
+            out[idx] = hash_pair_u64(cols[idx].astype(_U64),
+                                     rows[idx].astype(_U64),
+                                     seed=seed ^ 0xFA11)
+        sketch[rows, cols] = out
+    return sketch
+
+
+def sketch_jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Estimated Jaccard = fraction of equal slots (reference C1 semantics,
+    gsearch ``src/bin/bindash.rs:93-97``)."""
+    a = np.asarray(a, dtype=_U64)
+    b = np.asarray(b, dtype=_U64)
+    return float(np.mean(a == b))

@@ -1,0 +1,108 @@
+"""Stage 2: signatures -> salted LSH band keys (the "index build").
+
+Replaces the reference's HNSW graph construction
+(``hnsw.parallel_insert``, gsearch ``src/dna/dnasketch.rs:421-448``) with
+the scalable Spark-native equivalent: every signature explodes into
+``bands`` keys; items sharing a (band_id, band_hash) bucket are candidate
+neighbors.  The (bands x rows_per_band) split is the LSH analog of the
+reference's ef/nbng quality-vs-cost knobs (``README.md:680-689``).
+
+Band hashes are computed **JVM-side** with ``xxhash64`` over the band's
+minhash slots — whole-stage-codegen'd, no Python in this stage.
+
+Skew (north_rule: "partitioning / shuffle / skew handled explicitly"):
+hot buckets — e.g. thousands of identical all-black thumbnails — would
+turn the bucket self-join into O(n^2).  We:
+  1. count bucket sizes (``groupBy(band_id, band_hash).count()``),
+  2. broadcast the (tiny) hot-bucket list back,
+  3. split hot buckets into ``ceil(size / hot_band_threshold)`` (capped at
+     ``band_salts``) sub-buckets, salt = hash(image_id, band_id) so each
+     band partitions the same items DIFFERENTLY — across ``bands``
+     independent band sets two co-bucketed items still meet w.p.
+     1 - (1 - 1/S)^bands, and connected-components only needs a spanning
+     set of edges, not all of them.
+
+SimHash banding: the 64-bit simhash splits into ``simhash_bands`` chunks
+(16 bits each by default); two signatures within Hamming distance
+(simhash_bands - 1) share at least one intact chunk (pigeonhole), giving
+exact coverage of small Hamming balls — the Hamming-neighborhood search
+the reference does over sketch slots (``src/bin/bindash.rs:93-97``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+BANDS_SCHEMA = "band_id int, band_hash bigint, salt int, image_id string"
+
+
+def explode_minhash_bands(signatures: DataFrame, bands: int,
+                          rows_per_band: int) -> DataFrame:
+    """signatures -> (band_id, band_hash, image_id); JVM-side hashing."""
+    band_hashes = []
+    for b in range(bands):
+        slots = [F.element_at("minhash", b * rows_per_band + j + 1)
+                 for j in range(rows_per_band)]
+        band_hashes.append(F.xxhash64(F.lit(b), *slots))
+    return (signatures
+            .select("image_id",
+                    F.posexplode(F.array(*band_hashes))
+                    .alias("band_id", "band_hash")))
+
+
+def explode_simhash_bands(signatures: DataFrame, simhash_bands: int,
+                          band_id_offset: int = 1000) -> DataFrame:
+    """simhash -> (band_id, band_hash, image_id) by bit-chunk equality.
+
+    band_id is offset so simhash buckets never collide with minhash
+    buckets in the unioned bands table.
+    """
+    width = 64 // simhash_bands
+    mask = (1 << width) - 1
+    chunks = []
+    for b in range(simhash_bands):
+        chunk = F.shiftright(F.col("simhash"), b * width).bitwiseAND(
+            F.lit(mask))
+        chunks.append(F.xxhash64(F.lit(band_id_offset + b), chunk))
+    return (signatures
+            .select("image_id",
+                    F.posexplode(F.array(*chunks))
+                    .alias("band_pos", "band_hash"))
+            .select((F.col("band_pos") + F.lit(band_id_offset))
+                    .alias("band_id"), "band_hash", "image_id"))
+
+
+def salt_hot_buckets(bands_df: DataFrame, hot_threshold: int,
+                     max_salts: int) -> DataFrame:
+    """Assign per-row salts; only buckets above hot_threshold are split.
+
+    The hot-bucket list is tiny by construction (duplicate blow-ups, not
+    the norm) and is broadcast — no shuffle of the big side beyond the
+    bucket count aggregation (map-side partial agg keeps that cheap).
+    """
+    stats = (bands_df.groupBy("band_id", "band_hash")
+             .agg(F.count(F.lit(1)).alias("bucket_n"))
+             .filter(F.col("bucket_n") > hot_threshold)
+             .withColumn(
+                 "n_salt",
+                 F.least(F.lit(max_salts),
+                         F.ceil(F.col("bucket_n") / hot_threshold)
+                         .cast("int")))
+             .select("band_id", "band_hash", "n_salt"))
+    return (bands_df
+            .join(F.broadcast(stats), ["band_id", "band_hash"], "left")
+            .withColumn("n_salt", F.coalesce(F.col("n_salt"), F.lit(1)))
+            .withColumn(
+                "salt",
+                F.when(F.col("n_salt") <= 1, F.lit(0)).otherwise(
+                    F.pmod(F.xxhash64("image_id", "band_id"),
+                           F.col("n_salt")).cast("int")))
+            .select("band_id", "band_hash", "salt", "image_id"))
+
+
+def build_bands(signatures: DataFrame, cfg) -> DataFrame:
+    """Full banding stage: minhash bands ∪ simhash bands, salted."""
+    mh = explode_minhash_bands(signatures, cfg.bands, cfg.rows_per_band)
+    sh = explode_simhash_bands(signatures, cfg.simhash_bands)
+    return salt_hot_buckets(mh.unionByName(sh), cfg.hot_band_threshold,
+                            cfg.band_salts)

@@ -1,0 +1,95 @@
+"""Stage 5: verified edges -> clusters (connected components).
+
+Replaces the reference's coreset point->facility dispatch (binaux
+``hnswcore.rs:269-277``) with the alternating **small-star / large-star**
+MapReduce CC algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC 2014), which converges in O(log^2 n) rounds
+and — unlike label propagation — needs no per-node state table, only edge
+transformations, all expressible as groupBy + join DataFrame ops.
+
+    large-star: for each node u, connect every strictly-larger neighbor
+                to the minimum of N(u) ∪ {u}.
+    small-star: orient edges to (max, min); connect every neighbor and u
+                itself to the minimum.
+
+cluster_id = lexicographic min image_id of the component (FIXTURES.md).
+
+Scale notes: each iteration is one shuffle per star op; lineage is cut
+per iteration with ``localCheckpoint`` (SURVEY §7.3 — unbounded lineage
+is the classic iterative-DataFrame failure).  Convergence is detected by
+an exact (count, xor-of-hashes) edge-set fingerprint, order-insensitive.
+GraphFrames is deliberately not used (north_rule: from scratch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    bidir = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (bidir.groupBy("u")
+            .agg(F.least(F.min("v"), F.min("u")).alias("m")))
+    return (bidir.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct())
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    oriented = e.select(F.greatest("u", "v").alias("u"),
+                        F.least("u", "v").alias("v"))
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    nbrs = (oriented.join(mins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v")))
+    selfe = mins.select(F.col("u"), F.col("m").alias("v"))
+    return (nbrs.union(selfe)
+            .filter(F.col("u") != F.col("v"))
+            .distinct())
+
+
+def _fingerprint(e: DataFrame) -> "tuple[int, int]":
+    row = e.agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.xxhash64("u", "v")).alias("h")).collect()[0]
+    return (row["n"] or 0, row["h"] or 0)
+
+
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """edges(a, b) -> clusters(image_id, cluster_id).
+
+    Every vertex present in the edge set gets a row; callers union the
+    vertex universe back for singletons (see ``assign_clusters``).
+    """
+    e = (edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .distinct()
+         .localCheckpoint())
+    if e.isEmpty():
+        return e.select(F.col("u").alias("image_id"),
+                        F.col("v").alias("cluster_id"))
+    prev = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        fp = _fingerprint(e)
+        if fp == prev:
+            break
+        prev = fp
+    else:
+        raise RuntimeError(f"CC did not converge in {max_iter} iterations")
+    # fixpoint edges are (child, root-min); roots appear only as v
+    children = e.select(F.col("u").alias("image_id"),
+                        F.col("v").alias("cluster_id"))
+    roots = e.select(F.col("v").alias("image_id"),
+                     F.col("v").alias("cluster_id")).distinct()
+    return children.union(roots).distinct()
+
+
+def assign_clusters(edges: DataFrame, images: DataFrame) -> DataFrame:
+    """Full assignment incl. singletons: every image gets a cluster_id."""
+    comp = connected_components(edges)
+    ids = images.select("image_id")
+    return (ids.join(comp, "image_id", "left")
+            .select("image_id",
+                    F.coalesce("cluster_id", "image_id").alias("cluster_id")))

@@ -1,0 +1,178 @@
+"""End-to-end pipeline with per-stage checkpoints, lineage and resume.
+
+The checkpoint/resume discipline mirrors the reference exactly
+(SURVEY §2.1 S6/S7): every stage writes a Parquet checkpoint (analog of
+``dumpall``, gsearch ``src/utils/dumpload.rs:15-62``); the pipeline
+config is persisted as ``parameters.json`` beside the checkpoints and a
+resume with a different config hash REFUSES to run (gsearch
+``src/bin/gsearch.rs:714-742``); per-stage/per-partition row counts and
+timings land in a ``pipeline_state`` table (analog of
+``processing_state.json``, ``src/utils/files.rs:52-110``) including the
+reference's sent==received reconciliation invariant
+(``src/dna/dnasketch.rs:458-464``).
+
+Stages:  images -> signatures -> bands -> candidate_pairs
+                -> verified_edges -> clusters
+Resume = skip any stage whose checkpoint already exists under a matching
+config hash; kill the job at any boundary and rerun — outputs are
+byte-identical (deterministic signatures + min-based CC).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gsearch_spark.config import PipelineConfig
+from gsearch_spark.operators.banding import build_bands
+from gsearch_spark.operators.candidates import bucket_stats, emit_bucket_pairs
+from gsearch_spark.operators.cc import assign_clusters
+from gsearch_spark.operators.signatures import compute_signatures
+from gsearch_spark.operators.suffix import suffix_candidate_pairs
+from gsearch_spark.operators.verify import verified_edges
+
+STAGES = ("signatures", "bands", "candidate_pairs", "verified_edges",
+          "clusters")
+
+
+@dataclass
+class StageRecord:
+    stage: str
+    rows_out: int
+    seconds: float
+    skipped: bool
+
+
+class NearDupPipeline:
+    def __init__(self, spark: SparkSession, cfg: PipelineConfig,
+                 checkpoint_dir: str):
+        self.spark = spark
+        self.cfg = cfg
+        self.dir = checkpoint_dir
+        self.records: "list[StageRecord]" = []
+
+    # ------------------------------------------------------------ plumbing
+
+    def _path(self, stage: str) -> str:
+        return os.path.join(self.dir, stage)
+
+    def _done(self, stage: str) -> bool:
+        return os.path.exists(os.path.join(self._path(stage), "_SUCCESS"))
+
+    def _write_stage(self, stage: str, df: DataFrame) -> DataFrame:
+        path = self._path(stage)
+        df.write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)
+
+    def _record(self, stage: str, out: DataFrame, t0: float,
+                skipped: bool) -> DataFrame:
+        n = out.count()
+        rec = StageRecord(stage, n, time.time() - t0, skipped)
+        self.records.append(rec)
+        self._append_state(stage, out, rec)
+        return out
+
+    def _append_state(self, stage: str, out: DataFrame,
+                      rec: StageRecord) -> None:
+        """pipeline_state: one aggregate row + per-partition lineage rows."""
+        per_part = (out.groupBy(F.spark_partition_id().alias("part_id"))
+                    .agg(F.count(F.lit(1)).alias("rows_out"))
+                    .withColumn("stage", F.lit(stage))
+                    .withColumn("seconds", F.lit(rec.seconds))
+                    .withColumn("skipped", F.lit(rec.skipped))
+                    .withColumn("config_hash",
+                                F.lit(self.cfg.config_hash()))
+                    .select("stage", "part_id", "rows_out", "seconds",
+                            "skipped", "config_hash"))
+        per_part.write.mode("append").parquet(
+            os.path.join(self.dir, "pipeline_state"))
+
+    # ------------------------------------------------------------ stages
+
+    def run(self, images: DataFrame, resume: bool = True) -> DataFrame:
+        os.makedirs(self.dir, exist_ok=True)
+        params = os.path.join(self.dir, "parameters.json")
+        if os.path.exists(params):
+            # reference parameters.json discipline: refuse mixed-config
+            self.cfg.assert_matches(self.dir)
+        else:
+            self.cfg.dump(self.dir)
+
+        n_images = images.count()
+
+        # -- stage 1: signatures ------------------------------------------
+        t0 = time.time()
+        if resume and self._done("signatures"):
+            sigs = self.spark.read.parquet(self._path("signatures"))
+            sigs = self._record("signatures", sigs, t0, skipped=True)
+        else:
+            sigs = self._write_stage("signatures",
+                                     compute_signatures(images, self.cfg))
+            sigs = self._record("signatures", sigs, t0, skipped=False)
+        # sent == received invariant (gsearch src/dna/dnasketch.rs:458-464)
+        n_sigs = self.records[-1].rows_out
+        if n_sigs != n_images:
+            raise RuntimeError(
+                f"signature count {n_sigs} != image count {n_images} "
+                "(sent/received reconciliation failed)")
+
+        # -- stage 2: bands ------------------------------------------------
+        t0 = time.time()
+        if resume and self._done("bands"):
+            bands = self.spark.read.parquet(self._path("bands"))
+            bands = self._record("bands", bands, t0, skipped=True)
+        else:
+            bands = self._write_stage("bands", build_bands(sigs, self.cfg))
+            bands = self._record("bands", bands, t0, skipped=False)
+
+        # -- stage 3: candidate pairs (LSH buckets ∪ suffix pass) ----------
+        t0 = time.time()
+        if resume and self._done("candidate_pairs"):
+            pairs = self.spark.read.parquet(self._path("candidate_pairs"))
+            pairs = self._record("candidate_pairs", pairs, t0, skipped=True)
+        else:
+            lsh_pairs = emit_bucket_pairs(bands)
+            sfx_pairs = suffix_candidate_pairs(images)
+            pairs = (lsh_pairs.unionByName(sfx_pairs)
+                     .dropDuplicates(["a", "b"]))
+            pairs = self._write_stage("candidate_pairs", pairs)
+            pairs = self._record("candidate_pairs", pairs, t0, skipped=False)
+            # no silent caps: surface bucket policy stats in the log
+            stats = bucket_stats(bands).collect()[0].asDict()
+            with open(os.path.join(self.dir, "bucket_stats.json"), "w") as f:
+                json.dump({k: (float(v) if v is not None else None)
+                           for k, v in stats.items()}, f)
+
+        # -- stage 4: verified edges --------------------------------------
+        t0 = time.time()
+        if resume and self._done("verified_edges"):
+            edges = self.spark.read.parquet(self._path("verified_edges"))
+            edges = self._record("verified_edges", edges, t0, skipped=True)
+        else:
+            edges = self._write_stage("verified_edges",
+                                      verified_edges(pairs, images, self.cfg))
+            edges = self._record("verified_edges", edges, t0, skipped=False)
+
+        # -- stage 5: clusters (small-star / large-star CC) ----------------
+        t0 = time.time()
+        if resume and self._done("clusters"):
+            clusters = self.spark.read.parquet(self._path("clusters"))
+            clusters = self._record("clusters", clusters, t0, skipped=True)
+        else:
+            clusters = self._write_stage("clusters",
+                                         assign_clusters(edges, images))
+            clusters = self._record("clusters", clusters, t0, skipped=False)
+        return clusters
+
+
+def run_pipeline(spark: SparkSession, images_path: str, checkpoint_dir: str,
+                 cfg: PipelineConfig | None = None,
+                 resume: bool = True) -> DataFrame:
+    cfg = cfg or PipelineConfig()
+    images = spark.read.parquet(images_path)
+    return NearDupPipeline(spark, cfg, checkpoint_dir).run(images,
+                                                           resume=resume)

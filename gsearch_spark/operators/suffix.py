@@ -1,0 +1,160 @@
+"""Stage 3b: suffix-array caption-substring pass (north_rule J7).
+
+Not present in the reference (its only join predicate is metric
+proximity, SURVEY §2.5); mandated by BASELINE.json: exact
+caption-substring duplicates — same pixels, one caption a strict
+substring of the other — must be caught even when shingle Jaccard falls
+below the LSH threshold.
+
+Scale design: substring pairs require co-location, and FIXTURES.md plants
+them with identical pixels, so the **phash is the co-location key**
+(identical pixels => identical phash).  ``applyInPandas`` groups captions
+by phash; within each group a *generalized suffix array* over the
+concatenated normalized captions (prefix-doubling construction, O(n log^2
+n), fully numpy) locates every caption that occurs inside another.  Exact
+caption *equality* across different pixels is the MinHash/exact path's
+job, not this pass's.
+
+Within a group, images sharing the same caption value are represented by
+their minimum image_id — identical (pixels, caption) rows are already
+connected by the exact/minhash path, so representative edges keep the
+component connected without emitting cliques.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from gsearch_spark.shingles import normalize_caption
+
+PAIRS_SCHEMA = "a string, b string, src string"
+_SEP = "\x01"
+_GROUP_CAPTION_CAP = 10_000  # guard: distinct captions per phash group
+
+
+def suffix_array(s: np.ndarray) -> np.ndarray:
+    """Suffix array by prefix doubling (numpy, O(n log^2 n))."""
+    n = len(s)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    sa = np.argsort(s, kind="stable").astype(np.int64)
+    rank = np.empty(n, dtype=np.int64)
+    sorted_s = s[sa]
+    rank[sa] = np.cumsum(
+        np.concatenate([[0], (sorted_s[1:] != sorted_s[:-1]).astype(np.int64)]))
+    k = 1
+    while k < n:
+        r2 = np.full(n, -1, dtype=np.int64)
+        r2[:n - k] = rank[k:]
+        order = np.lexsort((r2, rank))
+        ra, rb = rank[order], r2[order]
+        changed = np.concatenate(
+            [[0], ((ra[1:] != ra[:-1]) | (rb[1:] != rb[:-1])).astype(np.int64)])
+        new_rank = np.cumsum(changed)
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = new_rank
+        sa = order.astype(np.int64)
+        if new_rank[-1] == n - 1:
+            break
+        k *= 2
+    return sa
+
+
+def _suffix_ge(text: np.ndarray, pos: int, pat: np.ndarray) -> bool:
+    """True if suffix text[pos:] >= pat (lexicographic, numpy compare)."""
+    seg = text[pos:pos + len(pat)]
+    m = min(len(seg), len(pat))
+    neq = np.nonzero(seg[:m] != pat[:m])[0]
+    if len(neq):
+        return seg[neq[0]] > pat[neq[0]]
+    return len(seg) >= len(pat)  # equal prefix: longer-or-equal suffix wins
+
+
+def _suffix_startswith(text: np.ndarray, pos: int, pat: np.ndarray) -> bool:
+    seg = text[pos:pos + len(pat)]
+    return len(seg) == len(pat) and bool(np.all(seg == pat))
+
+
+def find_pattern_range(text: np.ndarray, sa: np.ndarray, pat: np.ndarray
+                       ) -> "tuple[int, int]":
+    """Binary-search the SA for the interval of suffixes starting with pat."""
+    lo, hi = 0, len(sa)
+    while lo < hi:  # first suffix >= pat
+        mid = (lo + hi) // 2
+        if _suffix_ge(text, int(sa[mid]), pat):
+            hi = mid
+        else:
+            lo = mid + 1
+    start = lo
+    hi = len(sa)
+    while lo < hi:  # first suffix NOT starting with pat
+        mid = (lo + hi) // 2
+        if _suffix_startswith(text, int(sa[mid]), pat):
+            lo = mid + 1
+        else:
+            hi = mid
+    return start, lo
+
+
+def containment_pairs_in_group(captions: "list[str]",
+                               owners: "list[str]") -> "list[tuple[str, str]]":
+    """Pairs (rep_a, rep_b) where caption of one strictly contains the
+    other's.  ``captions`` are normalized and deduplicated; ``owners`` are
+    the representative image_ids.  Matches cannot cross caption
+    boundaries: the separator never occurs inside a pattern.
+    """
+    concat = _SEP.join(captions) + _SEP
+    text = np.frombuffer(concat.encode("utf-8", "surrogatepass"),
+                         dtype=np.uint8)
+    # recompute byte offsets of each caption in the utf-8 buffer
+    starts = np.zeros(len(captions) + 1, dtype=np.int64)
+    acc = 0
+    for i, c in enumerate(captions):
+        starts[i] = acc
+        acc += len(c.encode("utf-8", "surrogatepass")) + 1
+    starts[-1] = acc
+    sa = suffix_array(text)
+    out = []
+    for i, c in enumerate(captions):
+        pat = np.frombuffer(c.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+        if len(pat) == 0:
+            continue
+        lo, hi = find_pattern_range(text, sa, pat)
+        if hi - lo <= 0:
+            continue
+        pos = np.sort(sa[lo:hi])
+        owner_idx = np.searchsorted(starts, pos, side="right") - 1
+        for oi in np.unique(owner_idx):
+            if oi != i:  # occurs inside a DIFFERENT caption => containment
+                a, b = owners[i], owners[int(oi)]
+                out.append((a, b) if a < b else (b, a))
+    return out
+
+
+def suffix_candidate_pairs(images: DataFrame) -> DataFrame:
+    """images -> suffix-source candidate pairs, grouped by phash."""
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        normed = pdf["caption"].fillna("").map(normalize_caption)
+        mask = normed.str.len() > 0
+        if mask.sum() < 2:
+            return pd.DataFrame({"a": [], "b": [], "src": []})
+        sub = pd.DataFrame({"caption": normed[mask].to_numpy(),
+                            "image_id": pdf.loc[mask, "image_id"].to_numpy()})
+        reps = sub.groupby("caption", sort=True)["image_id"].min()
+        if len(reps) < 2:
+            return pd.DataFrame({"a": [], "b": [], "src": []})
+        captions = list(reps.index[:_GROUP_CAPTION_CAP])
+        owners = list(reps.to_numpy()[:_GROUP_CAPTION_CAP])
+        pairs = containment_pairs_in_group(captions, owners)
+        if not pairs:
+            return pd.DataFrame({"a": [], "b": [], "src": []})
+        a, b = zip(*sorted(set(pairs)))
+        return pd.DataFrame({"a": list(a), "b": list(b), "src": "suffix"})
+
+    return (images.select("phash", "image_id", "caption")
+            .groupBy("phash")
+            .applyInPandas(per_group, schema=PAIRS_SCHEMA)
+            .dropDuplicates(["a", "b"]))

@@ -1,0 +1,93 @@
+"""Stage 4: candidate pairs -> verified edges.
+
+The analog of the reference's answer thresholding (neighbors kept only
+under distance <= 0.99, gsearch ``src/dna/dnarequest.rs:83``,
+``src/answer.rs:42-55``) — but our acceptance rule is the exact per-row
+invariant from BASELINE.json's input_hint:
+
+    pixel_ok:   decoded pixels allclose (lossless) or PSNR >= 40 dB (lossy
+                / perturbed), shapes must match;
+    caption_ok: normalized equality, or strict substring either way
+                (accepting the suffix pass's containment pairs).
+
+Cost shape (SURVEY §7.3): decoding is ~10^3 x sketching cost, so this
+stage must only ever touch **candidate** pairs, never the full table.  The
+two image-side joins are the only places ``bytes`` is shuffled; pair
+volume is bounded by the banding stage's star policy.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from gsearch_spark.codec import decode_image, psnr
+from gsearch_spark.config import PipelineConfig
+from gsearch_spark.shingles import normalize_caption
+
+VERIFIED_SCHEMA = ("a string, b string, src string, psnr double, "
+                   "caption_eq boolean, dup boolean")
+
+
+def attach_payloads(pairs: DataFrame, images: DataFrame) -> DataFrame:
+    """pairs (a,b,src) + images -> one row per pair with both payloads."""
+    left = images.select(F.col("image_id").alias("a"),
+                         F.col("bytes").alias("bytes_a"),
+                         F.col("caption").alias("caption_a"))
+    right = images.select(F.col("image_id").alias("b"),
+                          F.col("bytes").alias("bytes_b"),
+                          F.col("caption").alias("caption_b"))
+    return pairs.join(left, "a").join(right, "b")
+
+
+def verify_pairs(pairs_with_payloads: DataFrame,
+                 cfg: PipelineConfig) -> DataFrame:
+    """Arrow-batched verification; returns ALL candidate rows with the
+    verdict (filter on ``dup`` for edges; keep full rows for metrics)."""
+
+    min_db = cfg.psnr_min_db
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            psnrs = np.empty(n, dtype=np.float64)
+            cap_ok = np.empty(n, dtype=bool)
+            dup = np.empty(n, dtype=bool)
+            for i in range(n):
+                pa_ = decode_image(pdf["bytes_a"].iat[i])
+                pb = decode_image(pdf["bytes_b"].iat[i])
+                if pa_.shape != pb.shape:
+                    p = float("-inf")
+                elif np.array_equal(pa_, pb):
+                    p = float("inf")
+                else:
+                    p = psnr(pa_, pb)
+                na = normalize_caption(pdf["caption_a"].iat[i])
+                nb = normalize_caption(pdf["caption_b"].iat[i])
+                c = (na == nb) or (min(len(na), len(nb)) > 0
+                                   and (na in nb or nb in na))
+                psnrs[i] = p if np.isfinite(p) else (1e9 if p > 0 else -1e9)
+                cap_ok[i] = c
+                dup[i] = (p >= min_db) and c
+            yield pd.DataFrame({
+                "a": pdf["a"].to_numpy(), "b": pdf["b"].to_numpy(),
+                "src": pdf["src"].to_numpy(),
+                "psnr": psnrs, "caption_eq": cap_ok, "dup": dup,
+            })
+
+    cols = pairs_with_payloads.select(
+        "a", "b", "src", "bytes_a", "bytes_b", "caption_a", "caption_b")
+    return cols.mapInPandas(run, schema=VERIFIED_SCHEMA)
+
+
+def verified_edges(pairs: DataFrame, images: DataFrame,
+                   cfg: PipelineConfig) -> DataFrame:
+    """Full verify stage: attach payloads, verify, keep dup edges."""
+    verdicts = verify_pairs(attach_payloads(pairs, images), cfg)
+    return verdicts.filter(F.col("dup")).select(
+        "a", "b", "src", "psnr", "caption_eq")

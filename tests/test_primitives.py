@@ -1,0 +1,162 @@
+"""Unit tests for the deterministic numpy primitives (no Spark)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gsearch_spark.codec import decode_image, encode_image, psnr
+from gsearch_spark.hashing import (hash_bytes_windows, hash_u64,
+                                   kgram_hashes_batch, splitmix64)
+from gsearch_spark.minhash import minhash_batch, sketch_jaccard
+from gsearch_spark.phash import phash64, phash_bit_shingles
+from gsearch_spark.shingles import caption_shingles_batch, normalize_caption
+from gsearch_spark.simhash import (hamming64, pixel_shingles, simhash64_batch)
+
+
+def test_splitmix64_deterministic():
+    x = np.arange(100, dtype=np.uint64)
+    a, b = splitmix64(x), splitmix64(x)
+    assert (a == b).all()
+    assert len(np.unique(a)) == 100  # bijective on distinct inputs
+
+
+def test_hash_u64_seed_sensitivity():
+    x = np.arange(50, dtype=np.uint64)
+    assert not (hash_u64(x, 1) == hash_u64(x, 2)).any()
+
+
+def test_kgram_hashes_match_manual():
+    h, r = kgram_hashes_batch([b"abcdef"], 3, seed=9)
+    # windows: abc bcd cde def
+    assert len(h) == 4 and (r == 0).all()
+    buf = np.frombuffer(b"abcdef", dtype=np.uint8)
+    manual = hash_bytes_windows(buf, np.arange(4), 3, seed=9)
+    assert (h == manual).all()
+
+
+def test_kgram_batch_equals_per_row():
+    strs = [b"hello world", b"spark near dup", b"", b"ab"]
+    h_all, r_all = kgram_hashes_batch(strs, 4, seed=3)
+    for i, s in enumerate(strs):
+        h_one, _ = kgram_hashes_batch([s], 4, seed=3)
+        mine = h_all[r_all == i]
+        assert (np.sort(mine) == np.sort(h_one)).all()
+
+
+def test_codec_lossless_roundtrip():
+    rng = np.random.default_rng(1)
+    px = rng.integers(0, 256, (32, 48, 3)).astype(np.uint8)
+    assert (decode_image(encode_image(px, "png")) == px).all()
+
+
+def test_codec_lossy_psnr_regimes():
+    rng = np.random.default_rng(2)
+    px = rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
+    hi = decode_image(encode_image(px, "jpeg", quality=92))
+    lo = decode_image(encode_image(px, "jpeg", quality=40))
+    assert psnr(px, hi) >= 40.0
+    assert psnr(px, lo) < 40.0
+
+
+def test_decode_unknown_magic_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\nnot-a-real-decoder")
+
+
+def test_phash_stable_under_reencode():
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        px = rng.integers(0, 256, (48, 48, 3)).astype(np.uint8)
+        re = decode_image(encode_image(px, "jpeg", quality=92))
+        h1, h2 = phash64(px), phash64(re)
+        d = int(hamming64(np.array([h1]), np.array([h2]))[0])
+        assert d <= 4
+
+
+def test_phash_distinct_images_far():
+    rng = np.random.default_rng(4)
+    a = rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
+    b = rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
+    d = int(hamming64(np.array([phash64(a)]), np.array([phash64(b)]))[0])
+    assert d >= 10
+
+
+def test_phash_bit_shingles_shape():
+    sh = phash_bit_shingles(np.array([123456789, -42], dtype=np.int64),
+                            16, seed=5)
+    assert sh.shape == (2, 49)
+    assert len(np.unique(sh[0])) > 40  # position-tagged => mostly distinct
+
+
+def test_minhash_jaccard_estimate():
+    """MinHash slot-equality estimates Jaccard within MC error."""
+    rng = np.random.default_rng(6)
+    est = []
+    for t in range(8):
+        a = hash_u64(np.arange(2000, dtype=np.uint64), seed=100 + t)
+        b = hash_u64(np.arange(1000, 3000, dtype=np.uint64), seed=100 + t)
+        sk = minhash_batch(
+            np.concatenate([a, b]),
+            np.concatenate([np.zeros(2000, np.int64), np.ones(2000, np.int64)]),
+            2, 128, "optdens", seed=42)
+        est.append(sketch_jaccard(sk[0], sk[1]))
+    mean = float(np.mean(est))  # true J = 1000/3000 = 1/3
+    assert abs(mean - 1 / 3) < 0.06
+
+
+def test_minhash_identical_sets_match():
+    h = hash_u64(np.arange(500, dtype=np.uint64), seed=1)
+    sk = minhash_batch(np.concatenate([h, h]),
+                       np.concatenate([np.zeros(500, np.int64),
+                                       np.ones(500, np.int64)]),
+                       2, 128, "optdens", seed=42)
+    assert (sk[0] == sk[1]).all()
+
+
+def test_minhash_empty_set_deterministic():
+    sk1 = minhash_batch(np.empty(0, np.uint64), np.empty(0, np.int64),
+                        2, 128, "optdens", seed=42)
+    assert (sk1[0] == sk1[1]).all()  # both empty => identical signature
+    sk2 = minhash_batch(np.empty(0, np.uint64), np.empty(0, np.int64),
+                        1, 128, "optdens", seed=42)
+    assert (sk1[0] == sk2[0]).all()  # independent of batch shape
+
+
+def test_minhash_revoptdens_differs():
+    h = hash_u64(np.arange(10, dtype=np.uint64), seed=1)  # sparse => densify
+    r = np.zeros(10, np.int64)
+    a = minhash_batch(h, r, 1, 128, "optdens", seed=42)
+    b = minhash_batch(h, r, 1, 128, "revoptdens", seed=42)
+    assert not (a == b).all()
+    # non-empty bins agree (densification rule differs, raw mins don't)
+    bins = (h % np.uint64(128)).astype(np.int64)
+    assert (a[0][bins] == b[0][bins]).all()
+
+
+def test_simhash_near_vs_far():
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
+    near = px.copy()
+    idx = rng.choice(px.size, px.size // 50, replace=False)
+    flat = near.reshape(-1)
+    flat[idx] = np.clip(flat[idx].astype(np.int16) + 1, 0, 255).astype(np.uint8)
+    far = rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
+    sigs = simhash64_batch(np.stack([pixel_shingles(p, seed=1)
+                                     for p in (px, near, far)]))
+    d_near = int(hamming64(sigs[0:1], sigs[1:2])[0])
+    d_far = int(hamming64(sigs[0:1], sigs[2:3])[0])
+    assert d_near <= 3
+    assert d_far >= 10
+
+
+def test_normalize_caption():
+    assert normalize_caption("  Hello   WORLD \n") == "hello world"
+    assert normalize_caption(None) == ""
+    assert normalize_caption("") == ""
+
+
+def test_caption_shingles_case_invariant():
+    h1, _ = caption_shingles_batch(["Hello World"], 5, seed=1)
+    h2, _ = caption_shingles_batch(["hello   world"], 5, seed=1)
+    assert (np.sort(h1) == np.sort(h2)).all()
