@@ -1,38 +1,159 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``   — flagship: the full image near-duplicate pipeline (signature
+              -> salted LSH bands -> candidate pairs ∪ suffix pass ->
+              pixel/caption verify -> small-star/large-star CC) on a
+              deterministic synthetic images table.
+``queries`` — one entry per implemented operator family from SURVEY §2;
+              SQL-expressible ones are mirrored in ``oracle_sql`` for the
+              DuckDB gate, pipeline-shaped ones (signatures over binary
+              image columns, banding, CC) are rows-only checks.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gsearch_spark.config import PipelineConfig  # noqa: E402
+from gsearch_spark.operators import ann, relational, text, textdedup  # noqa: E402
+
+_CACHE_ROOT = "/tmp/gsearch_spark_entry"
+_CFG = PipelineConfig()
+
+
+# --------------------------------------------------------- image pipeline
+
+def _fixture_scale(sf_dir: str) -> int:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return {"sf0.001": 200, "sf0.01": 800, "sf0.1": 2000}.get(name, 400)
+
+
+def _images_fixture(sf_dir: str) -> str:
+    from gsearch_spark.generator import write_fixture_local
+    n_base = _fixture_scale(sf_dir)
+    out = os.path.join(_CACHE_ROOT, f"images_{n_base}")
+    if not os.path.exists(os.path.join(out, "images.parquet")):
+        write_fixture_local(out, n_base=n_base, seed=42)
+    return out
+
+
+def _run_image_pipeline(spark: SparkSession, sf_dir: str) -> str:
+    """Run (or reuse) the checkpointed pipeline; returns checkpoint dir."""
+    from gsearch_spark.operators.pipeline import NearDupPipeline
+    fixture = _images_fixture(sf_dir)
+    ckpt = fixture + "_ckpt"
+    done = os.path.join(ckpt, "clusters", "_SUCCESS")
+    if not os.path.exists(done):
+        images = spark.read.parquet(os.path.join(fixture, "images.parquet"))
+        NearDupPipeline(spark, _CFG, ckpt).run(images, resume=True)
+    return ckpt
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: near-duplicate clusters of the synthetic images table."""
+    ckpt = _run_image_pipeline(spark, "/root/testdata/sf0.001")
+    return spark.read.parquet(os.path.join(ckpt, "clusters"))
 
+
+def _q_images_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ckpt = _run_image_pipeline(spark, sf_dir)
+    return spark.read.parquet(os.path.join(ckpt, "clusters"))
+
+
+def _q_images_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    ckpt = _run_image_pipeline(spark, sf_dir)
+    sigs = spark.read.parquet(os.path.join(ckpt, "signatures"))
+    return sigs.select("image_id", "simhash",
+                       F.element_at("minhash", 1).alias("minhash_slot0"),
+                       F.size("minhash").alias("sketch_size"))
+
+
+def _q_images_verified_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    ckpt = _run_image_pipeline(spark, sf_dir)
+    edges = spark.read.parquet(os.path.join(ckpt, "verified_edges"))
+    return edges.select("a", "b", "src",
+                        F.round("psnr", 2).alias("psnr_db"), "caption_eq")
+
+
+def _q_images_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    ckpt = _run_image_pipeline(spark, sf_dir)
+    bands = spark.read.parquet(os.path.join(ckpt, "bands"))
+    return (bands.groupBy("band_id")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.countDistinct("band_hash").alias("n_buckets"),
+                 F.max("salt").alias("max_salt")))
+
+
+# ----------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # image near-dup pipeline (rows-only checks; the pytest oracle in
+        # tests/ is the strong gate for these)
+        "images_neardup_clusters": _q_images_clusters,
+        "images_signatures": _q_images_signatures,
+        "images_verified_edges": _q_images_verified_edges,
+        "images_band_stats": _q_images_band_stats,
+        # text dedup tier (DuckDB-oracled, md5-derived hashing)
+        "exact_dedup_docs": textdedup.q_exact_dedup,
+        "minhash_signatures_docs": textdedup.q_minhash_signatures,
+        "lsh_band_pairs_docs": textdedup.q_lsh_band_pairs,
+        "simhash_docs": textdedup.q_simhash,
+        "ngram_jaccard_pairs": textdedup.q_ngram_jaccard_pairs,
+        "hamming_jaccard_docs": textdedup.q_hamming_jaccard,
+        "substring_pairs_docs": textdedup.q_substring_pairs,
+        "dedup_edge_union": textdedup.q_dedup_edge_union,
+        # text analysis
+        "token_count": text.q_token_count,
+        "quality_score": text.q_quality_score,
+        "lang_guess": text.q_lang_guess,
+        "doc_fingerprint": text.q_doc_fingerprint,
+        # similarity search
+        "knn_cosine_topk": ann.q_knn_cosine_topk,
+        "ann_lsh_buckets": ann.q_ann_lsh_buckets,
+        # relational operator analogs (SURVEY §2 F/G/O/C)
+        "scan_filter_project": relational.q_scan_filter_project,
+        "rollup_lineitem": relational.q_rollup_lineitem,
+        "topk_orders_per_customer": relational.q_topk_orders_per_customer,
+        "merit_product": relational.q_merit_product,
+        "latest_event_per_user": relational.q_latest_event_per_user,
+        "sessionize_events": relational.q_sessionize_events,
+        "ani_transform": relational.q_ani_transform,
+        "revenue_topk_suppliers": relational.q_revenue_topk_suppliers,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup_docs": textdedup.SQL_EXACT_DEDUP,
+        "minhash_signatures_docs": textdedup.SQL_MINHASH_SIGNATURES,
+        "lsh_band_pairs_docs": textdedup.SQL_LSH_BAND_PAIRS,
+        "simhash_docs": textdedup.SQL_SIMHASH,
+        "ngram_jaccard_pairs": textdedup.SQL_NGRAM_JACCARD_PAIRS,
+        "hamming_jaccard_docs": textdedup.SQL_HAMMING_JACCARD,
+        "substring_pairs_docs": textdedup.SQL_SUBSTRING_PAIRS,
+        "dedup_edge_union": textdedup.SQL_DEDUP_EDGE_UNION,
+        "token_count": text.SQL_TOKEN_COUNT,
+        "quality_score": text.SQL_QUALITY_SCORE,
+        "lang_guess": text.SQL_LANG_GUESS,
+        "doc_fingerprint": text.SQL_DOC_FINGERPRINT,
+        "knn_cosine_topk": ann.SQL_KNN_COSINE_TOPK,
+        "ann_lsh_buckets": ann.SQL_ANN_LSH_BUCKETS,
+        "scan_filter_project": relational.SQL_SCAN_FILTER_PROJECT,
+        "rollup_lineitem": relational.SQL_ROLLUP_LINEITEM,
+        "topk_orders_per_customer": relational.SQL_TOPK_ORDERS_PER_CUSTOMER,
+        "merit_product": relational.SQL_MERIT_PRODUCT,
+        "latest_event_per_user": relational.SQL_LATEST_EVENT_PER_USER,
+        "sessionize_events": relational.SQL_SESSIONIZE_EVENTS,
+        "ani_transform": relational.SQL_ANI_TRANSFORM,
+        "revenue_topk_suppliers": relational.SQL_REVENUE_TOPK_SUPPLIERS,
+    }

@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline: the image near-duplicate pipeline (signature + salted-LSH
+banding + candidate join + verify + CC) on a deterministic synthetic
+images table sized from the scale factor, plus representative
+document/relational queries on the driver tables.
+
+    SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS    local[] cores (default 32)
+    BENCH_N_BASE        override images fixture base rows
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CACHE = "/tmp/gsearch_spark_bench"
+
+# FIXTURES.md bench profile: 200k rows at sf0.1, 10% skew bombs
+_N_BASE_BY_SF = {"sf0.001": 1_600, "sf0.01": 16_000, "sf0.1": 160_000}
+
+DOC_QUERIES = ("rollup_lineitem", "merit_product", "lsh_band_pairs_docs",
+               "minhash_signatures_docs", "sessionize_events",
+               "token_count", "quality_score", "revenue_topk_suppliers")
+
+
+def main() -> None:
+    from gsearch_spark.config import PipelineConfig
+    from gsearch_spark.generator import write_fixture_spark
+    from gsearch_spark.operators.pipeline import NearDupPipeline
+    from gsearch_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    sf_name = os.path.basename(os.path.normpath(SF_DIR))
+    n_base = int(os.environ.get("BENCH_N_BASE",
+                                _N_BASE_BY_SF.get(sf_name, 16_000)))
+
+    spark = get_spark("gsearch_bench", cores=CPUS, shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # ---- fixture (cached across runs; generation is NOT timed) ----------
+    fixture = os.path.join(CACHE, f"images_{n_base}")
+    if not os.path.exists(os.path.join(fixture, "images.parquet",
+                                       "_SUCCESS")):
+        shutil.rmtree(fixture, ignore_errors=True)
+        write_fixture_spark(spark, fixture, n_base=n_base, seed=42,
+                            skew_fraction=0.10, partitions=CPUS * 2)
+
+    # ---- headline: image near-dup pipeline -----------------------------
+    ckpt = os.path.join(CACHE, f"ckpt_{n_base}_{CPUS}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    cfg = PipelineConfig(shuffle_partitions=CPUS)
+    images = spark.read.parquet(os.path.join(fixture, "images.parquet"))
+    n_images = images.count()
+    pipe = NearDupPipeline(spark, cfg, ckpt)
+    t0 = time.time()
+    pipe.run(images, resume=False)
+    pipe_total = time.time() - t0
+    stage_s = {r.stage: round(r.seconds, 3) for r in pipe.records}
+    sig_lsh = (stage_s.get("signatures", 0.0) + stage_s.get("bands", 0.0)
+               + stage_s.get("candidate_pairs", 0.0))
+
+    queries: "dict[str, float]" = {
+        f"pipeline_{k}": v for k, v in stage_s.items()}
+    queries["pipeline_total"] = round(pipe_total, 3)
+
+    # ---- representative driver-table queries ---------------------------
+    qmap = entrymod.queries()
+    for name in DOC_QUERIES:
+        t0 = time.time()
+        qmap[name](spark, SF_DIR).write.format("noop").mode(
+            "overwrite").save()
+        queries[name] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()) - queries["pipeline_total"], 3)
+    out = {
+        "metric": "bench_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_name,
+        "n_images": n_images,
+        "cores": CPUS,
+        "sig_lsh_sec": round(sig_lsh, 3),
+        "images_per_sec_sig_lsh": round(n_images / sig_lsh, 1)
+        if sig_lsh else None,
+        "images_per_sec_pipeline": round(n_images / pipe_total, 1),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -30,7 +30,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 PAIRS_SCHEMA = "a string, b string, src string"
-ALL_PAIRS_MAX = 64
+# All-pairs only for small buckets: a dup-group of size m must cost
+# O(m * bands) candidates, never O(m^2) — at 10^12 rows a single viral
+# image can have 10^6 copies, and 10^12 pairs from one bucket is fatal.
+ALL_PAIRS_MAX = 16
 STAR_REPS = 2
 SIMHASH_BAND_OFFSET = 1000
 

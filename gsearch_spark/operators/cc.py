@@ -52,7 +52,7 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 def _fingerprint(e: DataFrame) -> "tuple[int, int]":
     row = e.agg(F.count(F.lit(1)).alias("n"),
-                F.sum(F.xxhash64("u", "v")).alias("h")).collect()[0]
+                F.expr("bit_xor(xxhash64(u, v))").alias("h")).collect()[0]
     return (row["n"] or 0, row["h"] or 0)
 
 

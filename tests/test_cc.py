@@ -1,0 +1,64 @@
+"""Small-star/large-star connected components tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from gsearch_spark.operators.cc import assign_clusters, connected_components
+
+
+def _components(spark, edges, vertices=None):
+    e = spark.createDataFrame(edges, "a string, b string")
+    if vertices is None:
+        comp = connected_components(e)
+        return {r["image_id"]: r["cluster_id"] for r in comp.collect()}
+    v = spark.createDataFrame([(x,) for x in vertices], "image_id string")
+    comp = assign_clusters(e, v)
+    return {r["image_id"]: r["cluster_id"] for r in comp.collect()}
+
+
+def test_cc_single_edge(spark):
+    got = _components(spark, [("b", "a")])
+    assert got == {"a": "a", "b": "a"}
+
+
+def test_cc_chain(spark):
+    """A long chain is the worst case for naive propagation."""
+    n = 64
+    ids = [f"n{i:03d}" for i in range(n)]
+    edges = [(ids[i], ids[i + 1]) for i in range(n - 1)]
+    got = _components(spark, edges)
+    assert set(got.values()) == {ids[0]}
+    assert len(got) == n
+
+
+def test_cc_two_components_and_singletons(spark):
+    edges = [("a", "b"), ("b", "c"), ("x", "y")]
+    vertices = ["a", "b", "c", "x", "y", "lonely"]
+    got = _components(spark, edges, vertices)
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert got["x"] == got["y"] == "x"
+    assert got["lonely"] == "lonely"
+
+
+def test_cc_star_and_clique(spark):
+    edges = [("h", f"m{i}") for i in range(20)]
+    edges += [(f"c{i}", f"c{j}") for i in range(6) for j in range(i + 1, 6)]
+    got = _components(spark, edges)
+    assert all(got[f"m{i}"] == "c0" or got[f"m{i}"] == "h" for i in range(20))
+    roots = {got[k] for k in got if k.startswith("m")} | {got["h"]}
+    assert roots == {"h"}
+    assert {got[f"c{i}"] for i in range(6)} == {"c0"}
+
+
+def test_cc_deterministic_across_partitionings(spark):
+    edges = [(f"v{i}", f"v{(i * 7) % 40}") for i in range(40)
+             if i != (i * 7) % 40]
+    e1 = spark.createDataFrame(edges, "a string, b string").repartition(2)
+    e2 = spark.createDataFrame(list(reversed(edges)),
+                               "a string, b string").repartition(13)
+    c1 = {r["image_id"]: r["cluster_id"]
+          for r in connected_components(e1).collect()}
+    c2 = {r["image_id"]: r["cluster_id"]
+          for r in connected_components(e2).collect()}
+    assert c1 == c2
