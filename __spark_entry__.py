@@ -83,6 +83,20 @@ def _q_images_verified_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round("psnr", 2).alias("psnr_db"), "caption_eq")
 
 
+def _q_images_topk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gsearch_spark.operators.report import topk_neighbors
+    ckpt = _run_image_pipeline(spark, sf_dir)
+    edges = spark.read.parquet(os.path.join(ckpt, "verified_edges"))
+    return topk_neighbors(edges, k=5)
+
+
+def _q_images_knn_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gsearch_spark.operators.report import knn_adjacency
+    ckpt = _run_image_pipeline(spark, sf_dir)
+    edges = spark.read.parquet(os.path.join(ckpt, "verified_edges"))
+    return knn_adjacency(edges, k=32)
+
+
 def _q_images_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     ckpt = _run_image_pipeline(spark, sf_dir)
@@ -103,6 +117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "images_signatures": _q_images_signatures,
         "images_verified_edges": _q_images_verified_edges,
         "images_band_stats": _q_images_band_stats,
+        "images_topk_report": _q_images_topk_report,
+        "images_knn_adjacency": _q_images_knn_adjacency,
         # text dedup tier (DuckDB-oracled, md5-derived hashing)
         "exact_dedup_docs": textdedup.q_exact_dedup,
         "minhash_signatures_docs": textdedup.q_minhash_signatures,

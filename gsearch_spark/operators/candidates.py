@@ -3,67 +3,70 @@
 Replaces the reference's ``hnsw.parallel_search`` (gsearch
 ``src/dna/dnarequest.rs:349-364``): instead of graph traversal, items
 sharing a salted (band_id, band_hash, salt) bucket become candidate
-pairs via a grouped pair-emission — LSH's equi-join trick (SURVEY §2.5 J1
-— metric proximity turned into an equi-join).
+pairs — LSH's equi-join trick (SURVEY §2.5 J1: metric proximity turned
+into an equi-join).
+
+Execution shape (100 TB-minded): ONE shuffle (the groupBy on bucket
+keys), then pair expansion entirely in JVM whole-stage codegen via array
+higher-order functions — no Python, no second join.  Salting (upstream)
+caps each bucket's size, so the per-bucket ``collect_list`` is bounded.
 
 Pair-explosion guard (10^12-scale failure mode, SURVEY §7.3): a bucket of
 m items yields m(m-1)/2 pairs.  Policy per bucket:
 
-  * m <= all_pairs_max: emit ALL pairs (small buckets, exact recall).
-  * m >  all_pairs_max: emit STAR edges to the 2 lexicographically
-    smallest members (2m - 3 edges).  Connected components only needs a
-    spanning edge set; near-identical buckets are cliques after verify
-    anyway, and the second representative covers the case where the first
-    fails verification against part of the bucket.  No silent loss: the
-    bucket count and policy are reported in the stage metrics.
+  * m <= ALL_PAIRS_MAX: emit ALL pairs (small buckets, exact recall).
+  * m >  ALL_PAIRS_MAX: emit STAR edges from the 2 lexicographically
+    smallest members to everyone (2m - 3 edges).  Connected components
+    only needs a spanning edge set; near-identical buckets are cliques
+    after verify anyway, and the second representative covers the case
+    where the first fails verification against part of the bucket.  A
+    dup-group of size m therefore costs O(m * bands) candidates total,
+    never O(m^2) — at 10^12 rows a viral image with 10^6 copies must not
+    produce 10^12 pairs.  No silent loss: bucket_stats() surfaces how
+    many buckets hit the star policy.
 
-Pairs are canonically ordered a < b (reference J5: self-pair suppression +
-halved join, ``src/bin/bindash.rs:139-153``) and deduplicated across
-buckets/band sets.
+Pairs are canonically ordered a < b (reference J5: self-pair suppression
++ halved join, ``src/bin/bindash.rs:139-153``) and deduplicated across
+buckets/band sets with min(src) so the output is deterministic under any
+input partitioning.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 PAIRS_SCHEMA = "a string, b string, src string"
-# All-pairs only for small buckets: a dup-group of size m must cost
-# O(m * bands) candidates, never O(m^2) — at 10^12 rows a single viral
-# image can have 10^6 copies, and 10^12 pairs from one bucket is fatal.
 ALL_PAIRS_MAX = 16
 STAR_REPS = 2
 SIMHASH_BAND_OFFSET = 1000
 
+# all unordered pairs (i < j) from the sorted id array
+_ALL_PAIRS = ("flatten(transform(ids, (x, i) -> "
+              "transform(slice(ids, i + 2, size(ids)), "
+              "y -> named_struct('a', x, 'b', y))))")
+# star: the first STAR_REPS ids pair with every later id
+_STAR = (f"flatten(transform(slice(ids, 1, {STAR_REPS}), (x, i) -> "
+         "transform(slice(ids, i + 2, size(ids)), "
+         "y -> named_struct('a', x, 'b', y))))")
+
 
 def emit_bucket_pairs(bands_df: DataFrame,
                       all_pairs_max: int = ALL_PAIRS_MAX) -> DataFrame:
-    """bands -> deduplicated candidate pairs with source tags."""
-
-    def per_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(pdf["image_id"].unique())
-        m = len(ids)
-        if m < 2:
-            return pd.DataFrame({"a": [], "b": [], "src": []})
-        src = "minhash" if key[0] < SIMHASH_BAND_OFFSET else "simhash"
-        a, b = [], []
-        if m <= all_pairs_max:
-            for i in range(m):
-                for j in range(i + 1, m):
-                    a.append(ids[i]); b.append(ids[j])
-        else:
-            reps = ids[:STAR_REPS]
-            for r_i in range(len(reps)):
-                for x in ids[r_i + 1:]:
-                    a.append(reps[r_i]); b.append(x)
-        return pd.DataFrame({"a": a, "b": b, "src": src})
-
-    pairs = (bands_df
-             .groupBy("band_id", "band_hash", "salt")
-             .applyInPandas(per_bucket, schema=PAIRS_SCHEMA))
-    return pairs.dropDuplicates(["a", "b"])
+    """bands -> deduplicated candidate pairs with source tags (pure JVM)."""
+    grouped = (bands_df
+               .groupBy("band_id", "band_hash", "salt")
+               .agg(F.sort_array(F.collect_set("image_id")).alias("ids"))
+               .filter(F.size("ids") >= 2))
+    pairs = (grouped
+             .select("band_id",
+                     F.explode(F.when(F.size("ids") <= all_pairs_max,
+                                      F.expr(_ALL_PAIRS))
+                               .otherwise(F.expr(_STAR))).alias("p"))
+             .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"),
+                     F.when(F.col("band_id") < SIMHASH_BAND_OFFSET,
+                            F.lit("minhash")).otherwise(F.lit("simhash"))
+                     .alias("src")))
+    return pairs.groupBy("a", "b").agg(F.min("src").alias("src"))
 
 
 def bucket_stats(bands_df: DataFrame, all_pairs_max: int = ALL_PAIRS_MAX

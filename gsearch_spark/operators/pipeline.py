@@ -137,8 +137,10 @@ class NearDupPipeline:
         else:
             lsh_pairs = emit_bucket_pairs(bands)
             sfx_pairs = suffix_candidate_pairs(images)
+            # min(src) dedup => deterministic winner per pair
             pairs = (lsh_pairs.unionByName(sfx_pairs)
-                     .dropDuplicates(["a", "b"]))
+                     .groupBy("a", "b")
+                     .agg(F.min("src").alias("src")))
             pairs = self._write_stage("candidate_pairs", pairs)
             pairs = self._record("candidate_pairs", pairs, t0, skipped=False)
             # no silent caps: surface bucket policy stats in the log
@@ -176,3 +178,38 @@ def run_pipeline(spark: SparkSession, images_path: str, checkpoint_dir: str,
     images = spark.read.parquet(images_path)
     return NearDupPipeline(spark, cfg, checkpoint_dir).run(images,
                                                            resume=resume)
+
+
+def incremental_add(spark: SparkSession, cfg: PipelineConfig,
+                    checkpoint_dir: str, new_images: DataFrame,
+                    all_images: DataFrame) -> DataFrame:
+    """The reference's ``add`` subcommand analog (gsearch
+    ``src/bin/gsearch.rs:488-505``, pipeline reload at
+    ``src/dna/dnasketch.rs:106-134``): append new items to an existing
+    build WITHOUT re-sketching the old ones.
+
+    * config is reloaded from the checkpoint and must match (the
+      reference re-sketches new data with the ORIGINAL parameters);
+    * signatures of existing rows are reused from the checkpoint — only
+      ``new_images`` pay the decode+sketch cost (the expensive stage);
+    * banding/candidates/verify/CC re-run over the union (cluster
+      membership is global — new edges can merge old clusters, exactly
+      why the reference re-runs search over the merged index).
+
+    ``all_images`` must be old ∪ new (verification needs both payloads).
+    Returns the new clusters DataFrame.
+    """
+    cfg.assert_matches(checkpoint_dir)
+    pipe = NearDupPipeline(spark, cfg, checkpoint_dir)
+    old_sigs = spark.read.parquet(pipe._path("signatures"))
+    new_sigs = compute_signatures(new_images, cfg)
+    merged = old_sigs.unionByName(new_sigs)
+    # stage the merged signatures atomically, then invalidate downstream
+    tmp = pipe._path("signatures") + "_adding"
+    merged.write.mode("overwrite").parquet(tmp)
+    import shutil
+    shutil.rmtree(pipe._path("signatures"))
+    os.rename(tmp, pipe._path("signatures"))
+    for stage in ("bands", "candidate_pairs", "verified_edges", "clusters"):
+        shutil.rmtree(pipe._path(stage), ignore_errors=True)
+    return pipe.run(all_images, resume=True)
