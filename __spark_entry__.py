@@ -145,6 +145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": relational.q_sessionize_events,
         "ani_transform": relational.q_ani_transform,
         "revenue_topk_suppliers": relational.q_revenue_topk_suppliers,
+        "value_quantiles": relational.q_value_quantiles,
+        "props_json_extract": relational.q_props_json_extract,
     }
 
 
@@ -172,4 +174,6 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": relational.SQL_SESSIONIZE_EVENTS,
         "ani_transform": relational.SQL_ANI_TRANSFORM,
         "revenue_topk_suppliers": relational.SQL_REVENUE_TOPK_SUPPLIERS,
+        "value_quantiles": relational.SQL_VALUE_QUANTILES,
+        "props_json_extract": relational.SQL_PROPS_JSON_EXTRACT,
     }

@@ -79,16 +79,25 @@ def salt_hot_buckets(bands_df: DataFrame, hot_threshold: int,
     The hot-bucket list is tiny by construction (duplicate blow-ups, not
     the norm) and is broadcast — no shuffle of the big side beyond the
     bucket count aggregation (map-side partial agg keeps that cheap).
+    The stats pass is collected eagerly: ``F.broadcast`` pulls it to the
+    driver anyway, and an eager local relation avoids recomputing (or
+    having to persist) the exploded band table — persisting it here once
+    poisoned a later incremental-add run through Spark's plan-keyed
+    cache reuse.
     """
-    stats = (bands_df.groupBy("band_id", "band_hash")
-             .agg(F.count(F.lit(1)).alias("bucket_n"))
-             .filter(F.col("bucket_n") > hot_threshold)
-             .withColumn(
-                 "n_salt",
-                 F.least(F.lit(max_salts),
-                         F.ceil(F.col("bucket_n") / hot_threshold)
-                         .cast("int")))
-             .select("band_id", "band_hash", "n_salt"))
+    spark = bands_df.sparkSession
+    hot_rows = (bands_df.groupBy("band_id", "band_hash")
+                .agg(F.count(F.lit(1)).alias("bucket_n"))
+                .filter(F.col("bucket_n") > hot_threshold)
+                .withColumn(
+                    "n_salt",
+                    F.least(F.lit(max_salts),
+                            F.ceil(F.col("bucket_n") / hot_threshold)
+                            .cast("int")))
+                .select("band_id", "band_hash", "n_salt")
+                .collect())
+    stats = spark.createDataFrame(
+        hot_rows, schema="band_id int, band_hash bigint, n_salt int")
     return (bands_df
             .join(F.broadcast(stats), ["band_id", "band_hash"], "left")
             .withColumn("n_salt", F.coalesce(F.col("n_salt"), F.lit(1)))
@@ -101,7 +110,13 @@ def salt_hot_buckets(bands_df: DataFrame, hot_threshold: int,
 
 
 def build_bands(signatures: DataFrame, cfg) -> DataFrame:
-    """Full banding stage: minhash bands ∪ simhash bands, salted."""
+    """Full banding stage: minhash bands ∪ simhash bands, salted.
+
+    The exploded band table feeds two passes (bucket stats, then the salt
+    join); the stats side is collected eagerly inside salt_hot_buckets
+    (it is broadcast-sized by construction), so no persist is needed and
+    no cached plan can leak into later runs over the same checkpoint.
+    """
     mh = explode_minhash_bands(signatures, cfg.bands, cfg.rows_per_band)
     sh = explode_simhash_bands(signatures, cfg.simhash_bands)
     return salt_hot_buckets(mh.unionByName(sh), cfg.hot_band_threshold,

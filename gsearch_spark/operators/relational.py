@@ -259,6 +259,52 @@ SQL_ANI_TRANSFORM = f"""
 """
 
 
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8 distance-quantile analog (reference CKMS sketch, binaux
+    hnswcore.rs:188-228): exact interpolated quantiles of event values
+    per event_type.  Spark ``percentile`` and DuckDB ``quantile_cont``
+    share the linear-interpolation definition; outputs rounded 6dp."""
+    _reg(spark, sf_dir, "events")
+    return spark.sql("""
+      SELECT event_type,
+             round(percentile(value, 0.5), 6) AS p50,
+             round(percentile(value, 0.9), 6) AS p90,
+             round(percentile(value, 0.99), 6) AS p99,
+             count(*) AS n
+      FROM events GROUP BY event_type
+    """)
+
+
+SQL_VALUE_QUANTILES = """
+  SELECT event_type,
+         round(quantile_cont(value, 0.5), 6) AS p50,
+         round(quantile_cont(value, 0.9), 6) AS p90,
+         round(quantile_cont(value, 0.99), 6) AS p99,
+         count(*) AS n
+  FROM events GROUP BY event_type
+"""
+
+
+def q_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the events.props column (built-in
+    JSON path functions, SURVEY §2.9 'JSON built-ins' row)."""
+    _reg(spark, sf_dir, "events")
+    return spark.sql("""
+      SELECT event_id,
+             cast(get_json_object(props, '$.k') AS bigint) AS k
+      FROM events
+      WHERE props IS NOT NULL AND props LIKE '{%'
+    """)
+
+
+SQL_PROPS_JSON_EXTRACT = """
+  SELECT event_id,
+         (props ->> '$.k')::BIGINT AS k
+  FROM events
+  WHERE props IS NOT NULL AND props LIKE '{%'
+"""
+
+
 def q_revenue_topk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join + group + top-k: revenue per supplier, top 10 (decimal-exact)."""
     _reg(spark, sf_dir, "lineitem", "supplier")

@@ -134,27 +134,46 @@ def containment_pairs_in_group(captions: "list[str]",
 
 
 def suffix_candidate_pairs(images: DataFrame) -> DataFrame:
-    """images -> suffix-source candidate pairs, grouped by phash."""
+    """images -> suffix-source candidate pairs, grouped by phash.
+
+    Scale shape: a JVM-side prefilter keeps only phash groups with >= 2
+    DISTINCT (JVM-normalized) non-empty captions — on real data the vast
+    majority of groups are singletons or same-caption dup stacks, so the
+    Python suffix-array pass only ever sees the tiny eligible remainder.
+    The JVM normalization (``\\s`` is ASCII-only) collapses no more than
+    the Python one (Unicode ``\\s+``), so the prefilter can only
+    over-keep, never drop an eligible group.
+    """
 
     def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
         normed = pdf["caption"].fillna("").map(normalize_caption)
         mask = normed.str.len() > 0
+        empty = pd.DataFrame({"a": [], "b": [], "src": []})
         if mask.sum() < 2:
-            return pd.DataFrame({"a": [], "b": [], "src": []})
+            return empty
         sub = pd.DataFrame({"caption": normed[mask].to_numpy(),
                             "image_id": pdf.loc[mask, "image_id"].to_numpy()})
         reps = sub.groupby("caption", sort=True)["image_id"].min()
         if len(reps) < 2:
-            return pd.DataFrame({"a": [], "b": [], "src": []})
+            return empty
         captions = list(reps.index[:_GROUP_CAPTION_CAP])
         owners = list(reps.to_numpy()[:_GROUP_CAPTION_CAP])
         pairs = containment_pairs_in_group(captions, owners)
         if not pairs:
-            return pd.DataFrame({"a": [], "b": [], "src": []})
+            return empty
         a, b = zip(*sorted(set(pairs)))
         return pd.DataFrame({"a": list(a), "b": list(b), "src": "suffix"})
 
-    return (images.select("phash", "image_id", "caption")
+    ncap = F.lower(F.regexp_replace(F.trim(F.col("caption")), r"\s+", " "))
+    docs = (images.select("phash", "image_id", "caption")
+            .withColumn("ncap", ncap)
+            .filter(F.length("ncap") > 0))
+    eligible = (docs.groupBy("phash")
+                .agg(F.count_distinct("ncap").alias("nc"))
+                .filter(F.col("nc") >= 2)
+                .select("phash"))
+    return (docs.join(eligible, "phash")
+            .select("phash", "image_id", "caption")
             .groupBy("phash")
             .applyInPandas(per_group, schema=PAIRS_SCHEMA)
             .dropDuplicates(["a", "b"]))

@@ -33,13 +33,28 @@ VERIFIED_SCHEMA = ("a string, b string, src string, psnr double, "
 
 
 def attach_payloads(pairs: DataFrame, images: DataFrame) -> DataFrame:
-    """pairs (a,b,src) + images -> one row per pair with both payloads."""
-    left = images.select(F.col("image_id").alias("a"),
-                         F.col("bytes").alias("bytes_a"),
-                         F.col("caption").alias("caption_a"))
-    right = images.select(F.col("image_id").alias("b"),
-                          F.col("bytes").alias("bytes_b"),
-                          F.col("caption").alias("caption_b"))
+    """pairs (a,b,src) + images -> one row per pair with both payloads.
+
+    ``bytes`` is the expensive column; a left-semi prefilter restricts the
+    images side to ids that actually appear in a candidate pair BEFORE the
+    two payload joins, so only candidate payloads ever shuffle (AQE turns
+    the semi join into a broadcast when the candidate id set is small).
+    """
+    cand_ids = (pairs.select(F.col("a").alias("image_id"))
+                .union(pairs.select(F.col("b").alias("image_id")))
+                .distinct())
+    # broadcast: the id set is keys-only (bytes-free) and orders of
+    # magnitude smaller than the table; a sort-merge semi join here would
+    # shuffle all payloads and defeat the point.  (On a real 10^12-row
+    # deployment this becomes a storage-partitioned / bucketed semi join.)
+    slim = images.join(F.broadcast(cand_ids), "image_id", "left_semi") \
+                 .select("image_id", "bytes", "caption")
+    left = slim.select(F.col("image_id").alias("a"),
+                       F.col("bytes").alias("bytes_a"),
+                       F.col("caption").alias("caption_a"))
+    right = slim.select(F.col("image_id").alias("b"),
+                        F.col("bytes").alias("bytes_b"),
+                        F.col("caption").alias("caption_b"))
     return pairs.join(left, "a").join(right, "b")
 
 

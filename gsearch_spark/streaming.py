@@ -1,0 +1,126 @@
+"""Structured Streaming operators over the events stream.
+
+The reference is batch-only (SURVEY §2.10) — its one streaming element is
+an algorithmic one-pass coreset, not event-time processing.  This module
+adds the event-time operators a training-data ingest pipeline needs, as
+genuine Structured Streaming (file source -> watermark -> windowed agg /
+custom state -> sink), testable deterministically with the
+``availableNow`` trigger:
+
+  * ``windowed_event_counts``  — tumbling event-time windows + watermark
+    for late data; count/sum per (window, event_type).
+  * ``sessionize_stream``      — custom stateful sessionization with
+    ``applyInPandasWithState`` (GroupStateTimeout on the event-time
+    watermark): per-user session counts with a 30-min gap rule, the
+    streaming twin of the batch ``q_sessionize_events`` operator.
+
+Both return the streaming DataFrame; ``run_available_now`` drains the
+source and returns the materialized result for tests/benches.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = ("event_id bigint, ts timestamp, user_id bigint, "
+                 "event_type string, value double, props string")
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table.
+
+    The file streaming source requires a DIRECTORY; the driver testdata
+    ships one parquet file per table, so stage it (hard-link/copy) into a
+    per-sf staging dir once.  In production this is simply the ingest
+    directory / Iceberg table feed.
+    """
+    import hashlib
+    import os
+    import shutil
+
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    stage = f"/tmp/gsearch_stream_src_{key}"
+    dst = os.path.join(stage, "events.parquet")
+    if not os.path.exists(dst):
+        os.makedirs(stage, exist_ok=True)
+        try:
+            os.link(f"{sf_dir}/events.parquet", dst)
+        except OSError:
+            shutil.copyfile(f"{sf_dir}/events.parquet", dst)
+    return (spark.readStream
+            .schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(stage))
+
+
+def windowed_event_counts(events: DataFrame,
+                          window: str = "10 minutes",
+                          watermark: str = "30 minutes") -> DataFrame:
+    """Tumbling event-time windows with a late-data watermark."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("value").alias("sum_value"))
+            .select(F.col("w.start").alias("w_start"),
+                    F.col("w.end").alias("w_end"),
+                    "event_type", "n", "sum_value"))
+
+
+_SESSION_STATE = "n_sessions bigint, last_ts double"
+_SESSION_OUT = "user_id bigint, n_sessions bigint, n_events bigint"
+_GAP_SECONDS = 1800.0
+
+
+def _session_fn(key, pdfs, state: GroupState):
+    """Per-user session counter: a new session starts after a 30-min gap.
+
+    State carries (session count so far, last event epoch-seconds); the
+    batch's events are sorted by event time before folding.
+    """
+    (user_id,) = key
+    if state.exists:
+        n_sessions, last_ts = state.get
+    else:
+        n_sessions, last_ts = 0, None
+    n_events = 0
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        n_events += len(pdf)
+        for t in pdf["ts"].astype("int64").to_numpy() / 1e9:
+            if last_ts is None or (t - last_ts) > _GAP_SECONDS:
+                n_sessions += 1
+            last_ts = t
+    state.update((n_sessions, float(last_ts if last_ts else 0.0)))
+    yield pd.DataFrame({"user_id": [user_id], "n_sessions": [n_sessions],
+                        "n_events": [n_events]})
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState)."""
+    return (events
+            .withWatermark("ts", "1 hour")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _session_fn,
+                outputStructType=_SESSION_OUT,
+                stateStructType=_SESSION_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def run_available_now(stream_df: DataFrame, name: str,
+                      checkpoint: str, output_mode: str) -> DataFrame:
+    """Drain the source with trigger(availableNow) into a memory sink and
+    return the materialized table (deterministic for tests)."""
+    q = (stream_df.writeStream
+         .format("memory")
+         .queryName(name)
+         .outputMode(output_mode)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
