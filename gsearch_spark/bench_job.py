@@ -22,16 +22,28 @@ import time
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, required=True)
-    ap.add_argument("--fixture", required=True)
+    ap.add_argument("--fixture", default="")
     ap.add_argument("--ckpt", required=True)
-    ap.add_argument("--skip-verify", action="store_true")
+    ap.add_argument("--mode", choices=("full", "sig_lsh", "sig_lsh_gen"),
+                    default="full",
+                    help="full = checkpointed pipeline; sig_lsh = the "
+                         "compute core (signatures -> bands -> candidate "
+                         "pairs) as ONE query with no checkpoint writes; "
+                         "sig_lsh_gen = same, but rows are generated "
+                         "in-task from (seed, ordinal) — zero input I/O, "
+                         "the CPU-scaling measurement target (this "
+                         "sandbox's single virtio disk caps any "
+                         "bytes-heavy scan at ~300 MB/s regardless of "
+                         "cores)")
+    ap.add_argument("--n-base", type=int, default=128000)
+    ap.add_argument("--size-scale", type=int, default=2)
     args = ap.parse_args()
 
     from gsearch_spark.config import PipelineConfig
     from gsearch_spark.operators.banding import build_bands
     from gsearch_spark.operators.candidates import emit_bucket_pairs
-    from gsearch_spark.operators.cc import assign_clusters
     from gsearch_spark.operators.pipeline import NearDupPipeline
+    from gsearch_spark.operators.signatures import compute_signatures
     from gsearch_spark.session import get_spark
 
     shutil.rmtree(args.ckpt, ignore_errors=True)
@@ -39,26 +51,118 @@ def main() -> None:
                       shuffle_partitions=args.cores)
     spark.sparkContext.setLogLevel("ERROR")
     cfg = PipelineConfig(shuffle_partitions=args.cores)
+
+    if args.mode == "sig_lsh_gen":
+        import numpy as np
+        import pandas as pd
+        from pyspark import StorageLevel
+        from gsearch_spark.generator import (_vocab, generate_rows_arrow,
+                                             make_plan)
+        from gsearch_spark.operators.signatures import (SIGNATURES_SCHEMA,
+                                                        caption_hash_batch)
+        from gsearch_spark.codec import decode_image
+        from gsearch_spark.minhash import minhash_batch
+        from gsearch_spark.oracle import SEED_PIXEL, combined_shingles
+        from gsearch_spark.simhash import pixel_shingles, simhash64_batch
+
+        n_base, size_scale = args.n_base, args.size_scale
+        n = make_plan(n_base, seed=42, skew_fraction=0.10).n_total
+
+        def gen_and_sign(batches):
+            """Fused ingest: materialize rows from (seed, ordinal) and
+            sketch them in the SAME Python stage — one worker per task
+            slot, so local[K] parallelism equals K exactly (a chained
+            gen->JVM->sign pipeline runs TWO python workers per slot and
+            muddies the core-count comparison)."""
+            p = make_plan(n_base, seed=42, skew_fraction=0.10)
+            vocab = _vocab(42)
+            for pdf in batches:
+                tbl = generate_rows_arrow(pdf["id"].to_numpy(), p, vocab,
+                                          size_scale).to_pandas()
+                m = len(tbl)
+                phash = tbl["phash"].to_numpy(dtype=np.int64)
+                captions = tbl["caption"].tolist()
+                h, r = combined_shingles(phash, captions, cfg)
+                mh = minhash_batch(h, r, m, cfg.sketch_size, algo=cfg.algo,
+                                   seed=cfg.seed).view(np.int64)
+                sh = simhash64_batch(np.stack(
+                    [pixel_shingles(decode_image(b),
+                                    seed=cfg.seed ^ SEED_PIXEL)
+                     for b in tbl["bytes"]]))
+                yield pd.DataFrame({
+                    "image_id": tbl["image_id"].to_numpy(),
+                    "minhash": list(mh), "simhash": sh, "phash": phash,
+                    "cap_hash": caption_hash_batch(captions),
+                    "part_id": np.full(m, -1, dtype=np.int32),
+                })
+
+        t0 = time.time()
+        sigs = (spark.range(0, n, 1, args.cores * 8)
+                .mapInPandas(gen_and_sign, schema=SIGNATURES_SCHEMA)
+                .persist(StorageLevel.MEMORY_AND_DISK))
+        pairs = emit_bucket_pairs(build_bands(sigs, cfg))
+        n_pairs = pairs.count()
+        total = time.time() - t0
+        sigs.unpersist()
+        out = {
+            "cores": args.cores, "mode": "sig_lsh_gen",
+            "n_images": n, "n_pairs": n_pairs,
+            "size_scale": size_scale,
+            "total_sec": round(total, 3),
+            "sig_lsh_sec": round(total, 3),
+            "images_per_sec_sig_lsh": round(n / total, 1),
+            "images_per_sec_total": round(n / total, 1),
+            "stages_sec": {},
+        }
+        spark.stop()
+        print(json.dumps(out))
+        sys.stdout.flush()
+        return
+
     images = spark.read.parquet(f"{args.fixture}/images.parquet")
     n = images.count()
 
-    pipe = NearDupPipeline(spark, cfg, args.ckpt)
-    t0 = time.time()
-    pipe.run(images, resume=False)
-    total = time.time() - t0
-
-    stage_s = {r.stage: round(r.seconds, 3) for r in pipe.records}
-    sig_lsh = (stage_s.get("signatures", 0) + stage_s.get("bands", 0)
-               + stage_s.get("candidate_pairs", 0))
-    out = {
-        "cores": args.cores,
-        "n_images": n,
-        "total_sec": round(total, 3),
-        "stages_sec": stage_s,
-        "sig_lsh_sec": round(sig_lsh, 3),
-        "images_per_sec_sig_lsh": round(n / sig_lsh, 1) if sig_lsh else None,
-        "images_per_sec_total": round(n / total, 1),
-    }
+    if args.mode == "sig_lsh":
+        from pyspark import StorageLevel
+        t0 = time.time()
+        # persist: the banding stage consumes signatures twice (bucket
+        # stats + salt join); without the pipeline's parquet checkpoint
+        # the expensive signature UDF would run twice.  Fresh JVM per
+        # bench run => no cross-run cache-reuse hazard here.
+        sigs = compute_signatures(images, cfg).persist(
+            StorageLevel.MEMORY_AND_DISK)
+        pairs = emit_bucket_pairs(build_bands(sigs, cfg))
+        n_pairs = pairs.count()
+        total = time.time() - t0
+        sigs.unpersist()
+        out = {
+            "cores": args.cores, "mode": "sig_lsh",
+            "n_images": n, "n_pairs": n_pairs,
+            "total_sec": round(total, 3),
+            "sig_lsh_sec": round(total, 3),
+            "images_per_sec_sig_lsh": round(n / total, 1),
+            "images_per_sec_total": round(n / total, 1),
+            "stages_sec": {},
+        }
+    else:
+        pipe = NearDupPipeline(spark, cfg, args.ckpt)
+        t0 = time.time()
+        pipe.run(images, resume=False)
+        total = time.time() - t0
+        stage_s = {r.stage: round(r.seconds, 3) for r in pipe.records}
+        sig_lsh = (stage_s.get("exact_groups", 0)
+                   + stage_s.get("signatures", 0) + stage_s.get("bands", 0)
+                   + stage_s.get("candidate_pairs", 0))
+        out = {
+            "cores": args.cores, "mode": "full",
+            "n_images": n,
+            "total_sec": round(total, 3),
+            "stages_sec": stage_s,
+            "sig_lsh_sec": round(sig_lsh, 3),
+            "images_per_sec_sig_lsh": round(n / sig_lsh, 1)
+            if sig_lsh else None,
+            "images_per_sec_total": round(n / total, 1),
+        }
     spark.stop()
     print(json.dumps(out))
     sys.stdout.flush()

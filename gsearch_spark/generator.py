@@ -23,6 +23,7 @@ Duplicate structure per FIXTURES.md (fractions of n_base):
 
 from __future__ import annotations
 
+import functools
 import os
 from dataclasses import dataclass
 
@@ -78,8 +79,13 @@ class FixturePlan:
         return len(self.kind)
 
 
+@functools.lru_cache(maxsize=8)
 def make_plan(n_base: int, seed: int = 42,
               skew_fraction: float = 0.02) -> FixturePlan:
+    """Cached: the plan costs ~15 us/row to derive (the per-index rng in
+    _caption_is_empty dominates) and Spark tasks re-derive it; worker
+    reuse makes the cache hit for every task after a worker's first.
+    Callers must treat the returned arrays as immutable (they do)."""
     rng = np.random.default_rng(seed ^ 0x9A7)
     perm = rng.permutation(n_base)
     n_exact = int(n_base * 0.05)
@@ -121,11 +127,11 @@ def make_plan(n_base: int, seed: int = 42,
 
 # ---------------------------------------------------------------- pixels
 
-def _base_pixels(base_idx: int, seed: int) -> np.ndarray:
+def _base_pixels(base_idx: int, seed: int, size_scale: int = 1) -> np.ndarray:
     """Deterministic RGB noise-plus-gradient pattern for one base image."""
     rng = np.random.default_rng((seed << 20) ^ base_idx)
-    w = int(SIZES[rng.integers(0, len(SIZES))])
-    h = int(SIZES[rng.integers(0, len(SIZES))])
+    w = int(SIZES[rng.integers(0, len(SIZES))]) * size_scale
+    h = int(SIZES[rng.integers(0, len(SIZES))]) * size_scale
     y, x = np.mgrid[0:h, 0:w].astype(np.float64)
     img = np.empty((h, w, 3), dtype=np.float64)
     for c in range(3):
@@ -164,7 +170,7 @@ def _skew_pixels() -> np.ndarray:
 
 
 def generate_row(ordinal: int, plan_kind: int, src: int, seed: int,
-                 vocab: "list[str]") -> "dict":
+                 vocab: "list[str]", size_scale: int = 1) -> "dict":
     """One fully-materialized output row (pure function of its inputs)."""
     image_id = f"img_{ordinal:08d}"
     if plan_kind == KIND_SKEW:
@@ -172,7 +178,7 @@ def generate_row(ordinal: int, plan_kind: int, src: int, seed: int,
         caption = ""
         out_fmt = "png"
     else:
-        px = _base_pixels(src, seed)
+        px = _base_pixels(src, seed, size_scale)
         words = _caption_words(src, seed, vocab)
         caption = " ".join(words)
         src_fmt = _base_fmt(src, seed)
@@ -206,7 +212,7 @@ def generate_row(ordinal: int, plan_kind: int, src: int, seed: int,
             caption = " ".join(words + extra)
         elif plan_kind == KIND_HARDNEG:
             # same caption, DIFFERENT image (fresh pattern keyed by ordinal)
-            px = _base_pixels(ordinal + 10_000_019, seed)
+            px = _base_pixels(ordinal + 10_000_019, seed, size_scale)
             data = encode_image(px, "png")
             out_fmt = "png"
         else:
@@ -231,9 +237,9 @@ IMAGES_SCHEMA = pa.schema([
 
 
 def generate_rows_arrow(ordinals: np.ndarray, plan: FixturePlan,
-                        vocab: "list[str]") -> pa.Table:
+                        vocab: "list[str]", size_scale: int = 1) -> pa.Table:
     rows = [generate_row(int(i), int(plan.kind[i]), int(plan.src[i]),
-                         plan.seed, vocab) for i in ordinals]
+                         plan.seed, vocab, size_scale) for i in ordinals]
     cols = {name: [r[name] for r in rows] for name in IMAGES_SCHEMA.names}
     return pa.table(cols, schema=IMAGES_SCHEMA)
 
@@ -290,7 +296,7 @@ def write_fixture_local(out_dir: str, n_base: int, seed: int = 42,
 
 def write_fixture_spark(spark, out_dir: str, n_base: int, seed: int = 42,
                         skew_fraction: float = 0.02,
-                        partitions: int = 32) -> str:
+                        partitions: int = 32, size_scale: int = 1) -> str:
     """Distributed generation: fan the ordinal range out over executors.
 
     Each task regenerates the (cheap) plan and materializes only its slice
@@ -309,7 +315,7 @@ def write_fixture_spark(spark, out_dir: str, n_base: int, seed: int = 42,
         vocab = _vocab(seed)
         for pdf in batches:
             ords = pdf["id"].to_numpy()
-            tbl = generate_rows_arrow(ords, p, vocab)
+            tbl = generate_rows_arrow(ords, p, vocab, size_scale)
             yield tbl.to_pandas()
 
     schema = ("image_id string, bytes binary, w int, h int, "

@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 BANDS_SCHEMA = "band_id int, band_hash bigint, salt int, image_id string"
+CAPTION_BAND_ID = 3000
 
 
 def explode_minhash_bands(signatures: DataFrame, bands: int,
@@ -52,21 +53,66 @@ def explode_minhash_bands(signatures: DataFrame, bands: int,
 
 def explode_simhash_bands(signatures: DataFrame, simhash_bands: int,
                           band_id_offset: int = 1000) -> DataFrame:
-    """simhash -> (band_id, band_hash, image_id) by bit-chunk equality.
+    """simhash -> (band_id, band_hash, image_id) by chunk-PAIR equality.
+
+    The 64-bit simhash splits into ``simhash_bands`` chunks; the band key
+    is each unordered PAIR of chunks (C(k,2) bands of 2x16=32 bits for
+    k=4).  Pigeonhole: a pair within Hamming distance <= (k-2) damages at
+    most k-2 chunks, leaving >= 2 intact, so SOME pair-band matches —
+    exact coverage of the Hamming<=2 ball, probabilistic above.  Single
+    16-bit chunks are NOT usable as keys at scale: with n >> 2^16 rows,
+    random chunk collisions alone generate O(n^2 / 2^16) candidate pairs
+    per band (observed: 1.8M junk pairs at 188k rows); 32-bit pair keys
+    push random collisions to O(n^2 / 2^32), i.e. noise.
 
     band_id is offset so simhash buckets never collide with minhash
     buckets in the unioned bands table.
     """
     width = 64 // simhash_bands
     mask = (1 << width) - 1
-    chunks = []
-    for b in range(simhash_bands):
-        chunk = F.shiftright(F.col("simhash"), b * width).bitwiseAND(
-            F.lit(mask))
-        chunks.append(F.xxhash64(F.lit(band_id_offset + b), chunk))
+    chunk = [F.shiftright(F.col("simhash"), b * width).bitwiseAND(
+        F.lit(mask)) for b in range(simhash_bands)]
+    combos = []
+    for i in range(simhash_bands):
+        for j in range(i + 1, simhash_bands):
+            combos.append(F.xxhash64(F.lit(band_id_offset + len(combos)),
+                                     chunk[i], chunk[j]))
     return (signatures
             .select("image_id",
-                    F.posexplode(F.array(*chunks))
+                    F.posexplode(F.array(*combos))
+                    .alias("band_pos", "band_hash"))
+            .select((F.col("band_pos") + F.lit(band_id_offset))
+                    .alias("band_id"), "band_hash", "image_id"))
+
+
+def explode_phash_bands(signatures: DataFrame, phash_bands: int = 4,
+                        band_id_offset: int = 2000) -> DataFrame:
+    """phash -> (band_id, band_hash, image_id) by chunk-PAIR equality
+    (C(4,2)=6 bands of 2x16=32-bit keys).
+
+    Covers the regime MinHash is weakest in: a re-encode that flips ~2
+    phash bits drops shingle Jaccard to ~0.6 where 16x8-band detection
+    is only ~24%, but 2 flips damage at most 2 of 4 chunks, leaving an
+    intact chunk pair => exact Hamming<=2 coverage (3-4 flips are caught
+    probabilistically here plus by the MinHash/SimHash nets).  Single
+    16-bit chunks are unusable: phash bits are DCT-sign-structured and
+    heavily correlated across images, and the 2^16 keyspace produced
+    ~1.7M junk pairs at 188k rows; 32-bit pair keys push collisions down
+    by the second chunk's entropy, and what remains is absorbed by
+    salting + star policy + the phash prefilter.
+    """
+    width = 64 // phash_bands
+    mask = (1 << width) - 1
+    chunk = [F.shiftright(F.col("phash"), b * width).bitwiseAND(
+        F.lit(mask)) for b in range(phash_bands)]
+    combos = []
+    for i in range(phash_bands):
+        for j in range(i + 1, phash_bands):
+            combos.append(F.xxhash64(F.lit(band_id_offset + len(combos)),
+                                     chunk[i], chunk[j]))
+    return (signatures
+            .select("image_id",
+                    F.posexplode(F.array(*combos))
                     .alias("band_pos", "band_hash"))
             .select((F.col("band_pos") + F.lit(band_id_offset))
                     .alias("band_id"), "band_hash", "image_id"))
@@ -117,7 +163,25 @@ def build_bands(signatures: DataFrame, cfg) -> DataFrame:
     (it is broadcast-sized by construction), so no persist is needed and
     no cached plan can leak into later runs over the same checkpoint.
     """
+    from gsearch_spark.operators.signatures import EMPTY_CAPTION_HASH
+
     mh = explode_minhash_bands(signatures, cfg.bands, cfg.rows_per_band)
     sh = explode_simhash_bands(signatures, cfg.simhash_bands)
-    return salt_hot_buckets(mh.unionByName(sh), cfg.hot_band_threshold,
-                            cfg.band_salts)
+    # caption-identity band: every verifiable near-dup class except
+    # caption-substring (suffix pass) and empty-caption rows shares its
+    # normalized caption, so ONE exact band covers re-encodes and pixel
+    # perturbations deterministically — junk is just same-caption
+    # non-dups (hard negatives), killed by the phash prefilter before
+    # any decode.  Massively cheaper than banding structured phash bits.
+    cap = (signatures
+           .filter(F.col("cap_hash") != F.lit(EMPTY_CAPTION_HASH))
+           .select(F.lit(CAPTION_BAND_ID).alias("band_id"),
+                   F.col("cap_hash").alias("band_hash"), "image_id"))
+    # empty-caption rows can't use the caption band; give THEM (and only
+    # them — a tiny cohort) phash chunk-pair bands for re-encode coverage
+    ph = explode_phash_bands(
+        signatures.filter(F.col("cap_hash") == F.lit(EMPTY_CAPTION_HASH)),
+        cfg.phash_bands)
+    return salt_hot_buckets(
+        mh.unionByName(sh).unionByName(cap).unionByName(ph),
+        cfg.hot_band_threshold, cfg.band_salts)

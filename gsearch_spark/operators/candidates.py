@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 PAIRS_SCHEMA = "a string, b string, src string"
+PHASH_BAND_OFFSET = 2000
+CAPTION_BAND_OFFSET = 3000
 ALL_PAIRS_MAX = 16
 STAR_REPS = 2
 SIMHASH_BAND_OFFSET = 1000
@@ -64,7 +66,12 @@ def emit_bucket_pairs(bands_df: DataFrame,
                                .otherwise(F.expr(_STAR))).alias("p"))
              .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"),
                      F.when(F.col("band_id") < SIMHASH_BAND_OFFSET,
-                            F.lit("minhash")).otherwise(F.lit("simhash"))
+                            F.lit("minhash"))
+                     .when(F.col("band_id") < PHASH_BAND_OFFSET,
+                           F.lit("simhash"))
+                     .when(F.col("band_id") < CAPTION_BAND_OFFSET,
+                           F.lit("phash"))
+                     .otherwise(F.lit("caption"))
                      .alias("src")))
     return pairs.groupBy("a", "b").agg(F.min("src").alias("src"))
 

@@ -31,12 +31,14 @@ from gsearch_spark.config import PipelineConfig
 from gsearch_spark.operators.banding import build_bands
 from gsearch_spark.operators.candidates import bucket_stats, emit_bucket_pairs
 from gsearch_spark.operators.cc import assign_clusters
+from gsearch_spark.operators.exact import (exact_groups, expand_clusters,
+                                           representatives)
 from gsearch_spark.operators.signatures import compute_signatures
 from gsearch_spark.operators.suffix import suffix_candidate_pairs
 from gsearch_spark.operators.verify import verified_edges
 
-STAGES = ("signatures", "bands", "candidate_pairs", "verified_edges",
-          "clusters")
+STAGES = ("exact_groups", "signatures", "bands", "candidate_pairs",
+          "verified_edges", "clusters")
 
 
 @dataclass
@@ -45,6 +47,9 @@ class StageRecord:
     rows_out: int
     seconds: float
     skipped: bool
+    rows_in: int = -1
+    t_start: float = 0.0
+    t_end: float = 0.0
 
 
 class NearDupPipeline:
@@ -71,23 +76,33 @@ class NearDupPipeline:
     def _record(self, stage: str, out: DataFrame, t0: float,
                 skipped: bool) -> DataFrame:
         n = out.count()
-        rec = StageRecord(stage, n, time.time() - t0, skipped)
+        rows_in = self.records[-1].rows_out if self.records else -1
+        rec = StageRecord(stage, n, time.time() - t0, skipped,
+                          rows_in=rows_in, t_start=t0, t_end=time.time())
         self.records.append(rec)
         self._append_state(stage, out, rec)
         return out
 
     def _append_state(self, stage: str, out: DataFrame,
                       rec: StageRecord) -> None:
-        """pipeline_state: one aggregate row + per-partition lineage rows."""
+        """pipeline_state: per-partition lineage rows (FIXTURES.md §4
+        contract: stage, part_id, rows_in, rows_out, t_start, t_end,
+        config_hash — the processing_state.json analog, per partition)."""
         per_part = (out.groupBy(F.spark_partition_id().alias("part_id"))
                     .agg(F.count(F.lit(1)).alias("rows_out"))
                     .withColumn("stage", F.lit(stage))
+                    .withColumn("rows_in", F.lit(rec.rows_in))
+                    .withColumn("t_start",
+                                F.timestamp_seconds(F.lit(rec.t_start)))
+                    .withColumn("t_end",
+                                F.timestamp_seconds(F.lit(rec.t_end)))
                     .withColumn("seconds", F.lit(rec.seconds))
                     .withColumn("skipped", F.lit(rec.skipped))
                     .withColumn("config_hash",
                                 F.lit(self.cfg.config_hash()))
-                    .select("stage", "part_id", "rows_out", "seconds",
-                            "skipped", "config_hash"))
+                    .select("stage", "part_id", "rows_in", "rows_out",
+                            "t_start", "t_end", "seconds", "skipped",
+                            "config_hash"))
         per_part.write.mode("append").parquet(
             os.path.join(self.dir, "pipeline_state"))
 
@@ -104,21 +119,36 @@ class NearDupPipeline:
 
         n_images = images.count()
 
-        # -- stage 1: signatures ------------------------------------------
+        # -- stage 0: exact-duplicate collapse (identity short-circuit,
+        #    gsearch src/bin/bindash.rs:139-153) ---------------------------
+        t0 = time.time()
+        if resume and self._done("exact_groups"):
+            groups = self.spark.read.parquet(self._path("exact_groups"))
+            groups = self._record("exact_groups", groups, t0, skipped=True)
+        else:
+            groups = self._write_stage("exact_groups", exact_groups(images))
+            groups = self._record("exact_groups", groups, t0, skipped=False)
+        if self.records[-1].rows_out != n_images:
+            raise RuntimeError("exact_groups row count != image count")
+        images_rep = representatives(images, groups)
+        n_reps = images_rep.count()
+
+        # -- stage 1: signatures (representatives only) --------------------
         t0 = time.time()
         if resume and self._done("signatures"):
             sigs = self.spark.read.parquet(self._path("signatures"))
             sigs = self._record("signatures", sigs, t0, skipped=True)
         else:
             sigs = self._write_stage("signatures",
-                                     compute_signatures(images, self.cfg))
+                                     compute_signatures(images_rep,
+                                                        self.cfg))
             sigs = self._record("signatures", sigs, t0, skipped=False)
         # sent == received invariant (gsearch src/dna/dnasketch.rs:458-464)
         n_sigs = self.records[-1].rows_out
-        if n_sigs != n_images:
+        if n_sigs != n_reps:
             raise RuntimeError(
-                f"signature count {n_sigs} != image count {n_images} "
-                "(sent/received reconciliation failed)")
+                f"signature count {n_sigs} != representative count "
+                f"{n_reps} (sent/received reconciliation failed)")
 
         # -- stage 2: bands ------------------------------------------------
         t0 = time.time()
@@ -136,7 +166,7 @@ class NearDupPipeline:
             pairs = self._record("candidate_pairs", pairs, t0, skipped=True)
         else:
             lsh_pairs = emit_bucket_pairs(bands)
-            sfx_pairs = suffix_candidate_pairs(images)
+            sfx_pairs = suffix_candidate_pairs(images_rep)
             # min(src) dedup => deterministic winner per pair
             pairs = (lsh_pairs.unionByName(sfx_pairs)
                      .groupBy("a", "b")
@@ -156,17 +186,20 @@ class NearDupPipeline:
             edges = self._record("verified_edges", edges, t0, skipped=True)
         else:
             edges = self._write_stage("verified_edges",
-                                      verified_edges(pairs, images, self.cfg))
+                                      verified_edges(pairs, images_rep,
+                                                     self.cfg))
             edges = self._record("verified_edges", edges, t0, skipped=False)
 
-        # -- stage 5: clusters (small-star / large-star CC) ----------------
+        # -- stage 5: clusters (small-star / large-star CC over reps,
+        #    then expand exact-group members onto their rep's cluster) -----
         t0 = time.time()
         if resume and self._done("clusters"):
             clusters = self.spark.read.parquet(self._path("clusters"))
             clusters = self._record("clusters", clusters, t0, skipped=True)
         else:
-            clusters = self._write_stage("clusters",
-                                         assign_clusters(edges, images))
+            rep_clusters = assign_clusters(edges, images_rep)
+            clusters = self._write_stage(
+                "clusters", expand_clusters(rep_clusters, groups))
             clusters = self._record("clusters", clusters, t0, skipped=False)
         return clusters
 
@@ -199,17 +232,34 @@ def incremental_add(spark: SparkSession, cfg: PipelineConfig,
     ``all_images`` must be old ∪ new (verification needs both payloads).
     Returns the new clusters DataFrame.
     """
+    import shutil
+
     cfg.assert_matches(checkpoint_dir)
     pipe = NearDupPipeline(spark, cfg, checkpoint_dir)
     old_sigs = spark.read.parquet(pipe._path("signatures"))
-    new_sigs = compute_signatures(new_images, cfg)
-    merged = old_sigs.unionByName(new_sigs)
-    # stage the merged signatures atomically, then invalidate downstream
+
+    # exact groups over the union: a new row can even displace an old
+    # representative (smaller id, identical content) — recompute the cheap
+    # grouping globally and sketch only reps that lack a signature
+    groups = exact_groups(all_images)
+    reps_all = groups.filter(F.col("image_id") == F.col("rep_id")) \
+                     .select("image_id")
+    have = old_sigs.select("image_id")
+    need = reps_all.join(have, "image_id", "left_anti")
+    to_sketch = all_images.join(need, "image_id", "left_semi")
+    new_sigs = compute_signatures(to_sketch, cfg)
+    merged = (old_sigs.join(reps_all, "image_id", "left_semi")
+              .unionByName(new_sigs))
+
+    # stage atomically, then invalidate downstream
     tmp = pipe._path("signatures") + "_adding"
     merged.write.mode("overwrite").parquet(tmp)
-    import shutil
+    tmp_g = pipe._path("exact_groups") + "_adding"
+    groups.write.mode("overwrite").parquet(tmp_g)
     shutil.rmtree(pipe._path("signatures"))
     os.rename(tmp, pipe._path("signatures"))
+    shutil.rmtree(pipe._path("exact_groups"))
+    os.rename(tmp_g, pipe._path("exact_groups"))
     for stage in ("bands", "candidate_pairs", "verified_edges", "clusters"):
         shutil.rmtree(pipe._path(stage), ignore_errors=True)
     return pipe.run(all_images, resume=True)

@@ -27,12 +27,35 @@ from pyspark.sql import DataFrame
 
 from gsearch_spark.codec import decode_image
 from gsearch_spark.config import PipelineConfig
+from gsearch_spark.hashing import hash_u64
 from gsearch_spark.minhash import minhash_batch
 from gsearch_spark.oracle import SEED_PIXEL, combined_shingles
+from gsearch_spark.shingles import normalize_caption
 from gsearch_spark.simhash import pixel_shingles, simhash64_batch
 
+SEED_CAPHASH = 0xCA9
+
+
+def caption_hash_batch(captions: "list[str]") -> np.ndarray:
+    """64-bit identity hash of the NORMALIZED caption (int64); the
+    constant for empty captions is exported as EMPTY_CAPTION_HASH."""
+    out = np.empty(len(captions), dtype=np.uint64)
+    for i, c in enumerate(captions):
+        b = normalize_caption(c).encode("utf-8")
+        acc = np.uint64(len(b))
+        with np.errstate(over="ignore"):
+            for chunk in (b[j:j + 8] for j in range(0, len(b), 8)):
+                acc = acc * np.uint64(0x100000001B3) ^ np.uint64(
+                    int.from_bytes(chunk, "little"))
+        out[i] = hash_u64(np.array([acc]), seed=SEED_CAPHASH)[0]
+    return out.view(np.int64)
+
+
+EMPTY_CAPTION_HASH = int(caption_hash_batch([""])[0])
+
 SIGNATURES_SCHEMA = ("image_id string, minhash array<bigint>, "
-                     "simhash bigint, part_id int")
+                     "simhash bigint, phash bigint, cap_hash bigint, "
+                     "part_id int")
 
 
 def compute_signatures(images: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -54,10 +77,13 @@ def compute_signatures(images: DataFrame, cfg: PipelineConfig) -> DataFrame:
                 pixel_shingles(decode_image(b), seed=cfg.seed ^ SEED_PIXEL)
                 for b in pdf["bytes"]])
             sh = simhash64_batch(shingles)
+            cap_hash = caption_hash_batch(captions)
             yield pd.DataFrame({
                 "image_id": pdf["image_id"].to_numpy(),
                 "minhash": list(mh),
                 "simhash": sh,
+                "phash": phash,  # passthrough: phash banding + prefilter
+                "cap_hash": cap_hash,  # normalized-caption identity band
                 "part_id": np.full(n, pid, dtype=np.int32),
             })
 

@@ -32,6 +32,32 @@ VERIFIED_SCHEMA = ("a string, b string, src string, psnr double, "
                    "caption_eq boolean, dup boolean")
 
 
+def prefilter_pairs(pairs: DataFrame, images: DataFrame,
+                    max_phash_hamming: int = 20) -> DataFrame:
+    """Phase-1 verify: JVM metadata prefilter, no bytes, no Python.
+
+    A candidate pair can only satisfy the PSNR >= 40 dB invariant when
+    the images are visually near-identical, which bounds their phash
+    Hamming distance far below random (~32 +- 4 for unrelated images;
+    <= ~6 for true duplicates; 20 leaves a 3-sigma margin).  Junk pairs
+    from coarse band collisions therefore die on one ``bit_count(xor)``
+    each, BEFORE any payload join — the expensive bytes shuffle and
+    pixel decode only ever see plausible pairs.  (Reference analog: the
+    sketch-distance threshold applied before answers are dumped,
+    gsearch src/dna/dnarequest.rs:83.)
+    """
+    meta = images.select("image_id", "phash")
+    pa_ = meta.select(F.col("image_id").alias("a"),
+                      F.col("phash").alias("phash_a"))
+    pb = meta.select(F.col("image_id").alias("b"),
+                     F.col("phash").alias("phash_b"))
+    return (pairs.join(pa_, "a").join(pb, "b")
+            .filter(F.bit_count(
+                F.col("phash_a").bitwiseXOR(F.col("phash_b")))
+                <= max_phash_hamming)
+            .select("a", "b", "src"))
+
+
 def attach_payloads(pairs: DataFrame, images: DataFrame) -> DataFrame:
     """pairs (a,b,src) + images -> one row per pair with both payloads.
 
@@ -97,12 +123,21 @@ def verify_pairs(pairs_with_payloads: DataFrame,
 
     cols = pairs_with_payloads.select(
         "a", "b", "src", "bytes_a", "bytes_b", "caption_a", "caption_b")
-    return cols.mapInPandas(run, schema=VERIFIED_SCHEMA)
+    # AQE coalesces post-join partitions by SHUFFLE SIZE, which starves
+    # this decode-heavy Python stage of parallelism (observed: 32 cores,
+    # load ~5, because a few coalesced partitions held all pairs).  Cost
+    # here is CPU per row, not bytes — force even task fan-out.
+    spark = pairs_with_payloads.sparkSession
+    target = spark.sparkContext.defaultParallelism * 2
+    return cols.repartition(target).mapInPandas(run, schema=VERIFIED_SCHEMA)
 
 
 def verified_edges(pairs: DataFrame, images: DataFrame,
                    cfg: PipelineConfig) -> DataFrame:
-    """Full verify stage: attach payloads, verify, keep dup edges."""
-    verdicts = verify_pairs(attach_payloads(pairs, images), cfg)
+    """Full verify stage: metadata prefilter (phase 1, JVM) -> payload
+    attach -> pixel/caption verify (phase 2, Arrow); keep dup edges."""
+    plausible = prefilter_pairs(pairs, images,
+                                cfg.prefilter_max_phash_hamming)
+    verdicts = verify_pairs(attach_payloads(plausible, images), cfg)
     return verdicts.filter(F.col("dup")).select(
         "a", "b", "src", "psnr", "caption_eq")

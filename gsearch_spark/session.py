@@ -19,10 +19,12 @@ def get_spark(app: str = "gsearch_spark", cores: int | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory",
-                os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+                os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # keep Arrow batches modest: rows carry multi-KB image payloads,
+        # and 2048-row batches of 100 KB rows are ~200 MB per transfer
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -106,8 +106,8 @@ def test_pipeline_state_lineage(clusters_df, spark):
     _, pipe = clusters_df
     state = spark.read.parquet(os.path.join(CKPT, "pipeline_state"))
     got = {r["stage"] for r in state.select("stage").distinct().collect()}
-    assert got == {"signatures", "bands", "candidate_pairs",
-                   "verified_edges", "clusters"}
+    assert got == {"exact_groups", "signatures", "bands",
+                   "candidate_pairs", "verified_edges", "clusters"}
     hashes = {r["config_hash"]
               for r in state.select("config_hash").distinct().collect()}
     assert hashes == {CFG.config_hash()}
