@@ -91,10 +91,16 @@ def _q_images_topk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_images_knn_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The driver's pandas canonicalizer can't sort/hash array columns, so
+    # serialize the adjacency list to a scalar string for the gate.
+    from pyspark.sql import functions as F
     from gsearch_spark.operators.report import knn_adjacency
     ckpt = _run_image_pipeline(spark, sf_dir)
     edges = spark.read.parquet(os.path.join(ckpt, "verified_edges"))
-    return knn_adjacency(edges, k=32)
+    adj = knn_adjacency(edges, k=32)
+    return adj.select("query",
+                      F.concat_ws(",", "neighbors").alias("neighbors"),
+                      "degree")
 
 
 def _q_images_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -245,7 +245,8 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id, b
       )
       SELECT doc_id,
-             sum(CASE WHEN c > 0 THEN shiftleft(1, b) ELSE 0 END) AS simhash
+             cast(sum(CASE WHEN c > 0 THEN shiftleft(1, b) ELSE 0 END)
+                  AS bigint) AS simhash
       FROM bits GROUP BY doc_id
     """)
 
@@ -257,7 +258,8 @@ SQL_SIMHASH = _duck_shingles(_duck_docs_with_dups()) + f"""
     GROUP BY doc_id, b
   )
   SELECT doc_id,
-         sum(CASE WHEN c > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+         sum(CASE WHEN c > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+           AS simhash
   FROM bits GROUP BY doc_id
 """
 

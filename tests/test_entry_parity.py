@@ -53,6 +53,14 @@ def test_query_matches_oracle(spark, name):
     want = _canon(_duck(entrymod.oracle_sql()[name]))
     assert list(got.columns) == list(want.columns), (
         f"{name}: columns {list(got.columns)} != {list(want.columns)}")
+    # The driver hashes raw values, so an int64-vs-float64 mismatch (e.g.
+    # DuckDB HUGEINT sums landing as float64) fails its gate even when the
+    # values are equal — compare dtype KIND to catch that locally.
+    got_kinds = [got[c].dtype.kind for c in got.columns]
+    want_kinds = [want[c].dtype.kind for c in want.columns]
+    assert got_kinds == want_kinds, (
+        f"{name}: dtype kinds {got_kinds} != {want_kinds} "
+        f"({dict(got.dtypes)} vs {dict(want.dtypes)})")
     assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
     assert len(got) > 0, f"{name}: empty result weakens the gate"
     pd.testing.assert_frame_equal(got, want, check_dtype=False,

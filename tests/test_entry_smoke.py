@@ -24,8 +24,13 @@ def test_entry_returns_rows(spark):
 @pytest.mark.parametrize("name", sorted(ROWS_ONLY))
 def test_rows_only_queries(spark, name):
     df = entrymod.queries()[name](spark, SF_DIR)
-    assert df.count() > 0
-    assert len(df.columns) >= 2
+    pdf = df.toPandas()
+    assert len(pdf) > 0
+    assert len(pdf.columns) >= 2
+    # Replicate the driver's canonicalization: every rows-only result must
+    # survive a full-column pandas sort (array columns are unhashable and
+    # crash it — see round-1 images_knn_adjacency failure).
+    pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
 
 
 def test_every_oracle_key_has_query():
