@@ -103,6 +103,23 @@ def _q_images_knn_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "degree")
 
 
+def _q_images_request_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-vs-probe: query the stored index with re-identified copies of
+    every 7th fixture image (each probe's exact content IS indexed, so a
+    distance-0 top-1 answer is guaranteed).  Reference `request`
+    subcommand semantics (gsearch src/dna/dnarequest.rs:64-388)."""
+    from pyspark.sql import functions as F
+    from gsearch_spark.operators.request import request
+    ckpt = _run_image_pipeline(spark, sf_dir)
+    fixture = _images_fixture(sf_dir)
+    images = spark.read.parquet(os.path.join(fixture, "images.parquet"))
+    probes = (images
+              .filter(F.pmod(F.xxhash64("image_id"), F.lit(7)) == 0)
+              .select(F.concat(F.lit("q_"), F.col("image_id"))
+                      .alias("image_id"), "bytes", "caption", "phash"))
+    return request(spark, ckpt, probes, k=3, max_distance=0.6)
+
+
 def _q_images_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     ckpt = _run_image_pipeline(spark, sf_dir)
@@ -125,6 +142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "images_band_stats": _q_images_band_stats,
         "images_topk_report": _q_images_topk_report,
         "images_knn_adjacency": _q_images_knn_adjacency,
+        "images_request_topk": _q_images_request_topk,
         # text dedup tier (DuckDB-oracled, md5-derived hashing)
         "exact_dedup_docs": textdedup.q_exact_dedup,
         "minhash_signatures_docs": textdedup.q_minhash_signatures,

@@ -155,14 +155,12 @@ def salt_hot_buckets(bands_df: DataFrame, hot_threshold: int,
             .select("band_id", "band_hash", "salt", "image_id"))
 
 
-def build_bands(signatures: DataFrame, cfg) -> DataFrame:
-    """Full banding stage: minhash bands ∪ simhash bands, salted.
-
-    The exploded band table feeds two passes (bucket stats, then the salt
-    join); the stats side is collected eagerly inside salt_hot_buckets
-    (it is broadcast-sized by construction), so no persist is needed and
-    no cached plan can leak into later runs over the same checkpoint.
-    """
+def explode_all_bands(signatures: DataFrame, cfg) -> DataFrame:
+    """signatures -> UNSALTED (band_id, band_hash, image_id) across every
+    band family.  Shared by the build path (which salts the result) and
+    the probe path of :func:`gsearch_spark.operators.request.request`
+    (which joins it against a stored salted table on (band_id, band_hash)
+    — salting only matters for the self-join's skew, not for probing)."""
     from gsearch_spark.operators.signatures import EMPTY_CAPTION_HASH
 
     mh = explode_minhash_bands(signatures, cfg.bands, cfg.rows_per_band)
@@ -182,6 +180,16 @@ def build_bands(signatures: DataFrame, cfg) -> DataFrame:
     ph = explode_phash_bands(
         signatures.filter(F.col("cap_hash") == F.lit(EMPTY_CAPTION_HASH)),
         cfg.phash_bands)
-    return salt_hot_buckets(
-        mh.unionByName(sh).unionByName(cap).unionByName(ph),
-        cfg.hot_band_threshold, cfg.band_salts)
+    return mh.unionByName(sh).unionByName(cap).unionByName(ph)
+
+
+def build_bands(signatures: DataFrame, cfg) -> DataFrame:
+    """Full banding stage: minhash ∪ simhash ∪ caption ∪ phash bands, salted.
+
+    The exploded band table feeds two passes (bucket stats, then the salt
+    join); the stats side is collected eagerly inside salt_hot_buckets
+    (it is broadcast-sized by construction), so no persist is needed and
+    no cached plan can leak into later runs over the same checkpoint.
+    """
+    return salt_hot_buckets(explode_all_bands(signatures, cfg),
+                            cfg.hot_band_threshold, cfg.band_salts)

@@ -1,0 +1,138 @@
+"""Build-vs-probe search: query a stored index WITHOUT rebuilding it.
+
+The analog of the reference's ``request`` subcommand — its single most
+used entry point (gsearch ``src/dna/dnarequest.rs:64-388``, bulk search
+at ``:321-353``; CLI wiring ``src/bin/gsearch.rs:328-359``): sketch NEW
+query items with the STORED config (parameters.json reload + hash
+assert, ``src/bin/gsearch.rs:714-742``), probe the persisted index, and
+return per-query top-k answers under a distance threshold
+(``src/dna/dnarequest.rs:83``).
+
+Execution shape (100 TB-minded):
+
+* The probe side (queries) is orders of magnitude smaller than the
+  index, so its exploded band table is **broadcast** into a hash join
+  against the stored ``bands`` checkpoint — the build side is never
+  shuffled, mirroring the reference's memory-mapped HNSW probe.  For
+  probe sets too large to broadcast, ``broadcast_probe=False`` degrades
+  to a shuffle hash join on (band_id, band_hash).
+* Answer distances are computed from **stored signatures only**
+  (zip_with slot agreement + phash Hamming, both whole-stage codegen) —
+  no payload re-read, exactly like the reference whose request answers
+  are sketch distances, not re-alignments.
+* Per-query ranking is one shuffle on query_id (window top-k).  Junk
+  candidates from hot buckets die on the JVM phash prefilter before
+  the signatures join, the same two-phase shape as the verify stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from gsearch_spark.config import PipelineConfig
+from gsearch_spark.operators.banding import explode_all_bands
+from gsearch_spark.operators.signatures import compute_signatures
+
+ANSWERS_SCHEMA = ("query_id string, target_id string, j_est double, "
+                  "phash_ham int, caption_eq boolean, distance double, "
+                  "rank int")
+
+
+def probe_candidates(query_bands: DataFrame, stored_bands: DataFrame,
+                     broadcast_probe: bool = True) -> DataFrame:
+    """(query_id, target_id) candidates: probe bands ⋈ stored bands.
+
+    The stored table carries one row per (band_id, image_id) — salt is a
+    function of (image_id, band_id) — so the equi-join yields at most one
+    row per (query, target, band); distinct collapses multi-band hits.
+    """
+    qb = query_bands.select(F.col("image_id").alias("query_id"),
+                            "band_id", "band_hash")
+    if broadcast_probe:
+        qb = F.broadcast(qb)
+    bb = stored_bands.select("band_id", "band_hash",
+                             F.col("image_id").alias("target_id"))
+    return (bb.join(qb, ["band_id", "band_hash"])
+            .filter(F.col("query_id") != F.col("target_id"))  # J5 analog
+            .select("query_id", "target_id")
+            .distinct())
+
+
+def rank_answers(cands: DataFrame, query_sigs: DataFrame,
+                 stored_sigs: DataFrame, cfg: PipelineConfig, k: int,
+                 max_distance: float,
+                 broadcast_probe: bool = True) -> DataFrame:
+    """candidates -> per-query top-k by sketch distance (1 - slot-agree
+    Jaccard estimate), the reference's answer rule (dnarequest.rs:83)."""
+    qs = query_sigs.select(F.col("image_id").alias("query_id"),
+                           F.col("minhash").alias("q_minhash"),
+                           F.col("phash").alias("q_phash"),
+                           F.col("cap_hash").alias("q_cap"))
+    if broadcast_probe:
+        qs = F.broadcast(qs)
+    ts = stored_sigs.select(F.col("image_id").alias("target_id"),
+                            F.col("minhash").alias("t_minhash"),
+                            F.col("phash").alias("t_phash"),
+                            F.col("cap_hash").alias("t_cap"))
+    # candidates ≪ index: join candidate ids into the big signatures table
+    # (AQE broadcasts the candidate side when it fits); phash prefilter
+    # kills junk BEFORE the window shuffle.
+    scored = (ts.join(cands, "target_id").join(qs, "query_id")
+              .withColumn("phash_ham",
+                          F.bit_count(F.col("q_phash")
+                                      .bitwiseXOR(F.col("t_phash")))
+                          .cast("int"))
+              .filter(F.col("phash_ham")
+                      <= cfg.prefilter_max_phash_hamming)
+              .withColumn(
+                  "eq_slots",
+                  F.aggregate(
+                      F.zip_with("q_minhash", "t_minhash",
+                                 lambda x, y: F.when(x == y, 1)
+                                 .otherwise(0)),
+                      F.lit(0), lambda acc, x: acc + x))
+              .withColumn("j_est",
+                          F.round(F.col("eq_slots")
+                                  / F.lit(float(cfg.sketch_size)), 6))
+              .withColumn("distance",
+                          F.round(1.0 - F.col("j_est"), 6))
+              .withColumn("caption_eq", F.col("q_cap") == F.col("t_cap"))
+              .filter(F.col("distance") <= max_distance))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col("target_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "target_id", "j_est", "phash_ham",
+                    "caption_eq", "distance", "rank"))
+
+
+def request(spark: SparkSession, checkpoint_dir: str,
+            query_images: DataFrame, k: int = 5,
+            max_distance: float = 0.99,
+            cfg: PipelineConfig | None = None,
+            broadcast_probe: bool = True) -> DataFrame:
+    """Top-k neighbors for each query image against a stored build.
+
+    * Reloads the build's parameters.json; if ``cfg`` is supplied it must
+      hash-match (the reference refuses mixed-config requests).
+    * ``query_images`` needs the input-table shape: image_id, bytes,
+      caption, phash.
+    * Returns ANSWERS_SCHEMA rows; distance = 1 - minhash-slot agreement.
+    """
+    stored_cfg = PipelineConfig.reload(checkpoint_dir)
+    if cfg is not None and cfg.config_hash() != stored_cfg.config_hash():
+        raise ValueError(
+            "request config does not match the stored build: "
+            f"stored={stored_cfg.config_hash()} given={cfg.config_hash()}; "
+            "re-sketch queries with the original parameters (reference "
+            "parameters.json discipline)")
+    cfg = stored_cfg
+
+    q_sigs = compute_signatures(query_images, cfg)
+    q_bands = explode_all_bands(q_sigs, cfg)
+    stored_bands = spark.read.parquet(f"{checkpoint_dir}/bands")
+    stored_sigs = spark.read.parquet(f"{checkpoint_dir}/signatures")
+    cands = probe_candidates(q_bands, stored_bands,
+                             broadcast_probe=broadcast_probe)
+    return rank_answers(cands, q_sigs, stored_sigs, cfg, k, max_distance,
+                        broadcast_probe=broadcast_probe)

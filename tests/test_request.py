@@ -1,0 +1,121 @@
+"""Build-vs-probe ``request`` API vs a brute-force numpy oracle.
+
+The reference's request semantics (gsearch ``src/dna/dnarequest.rs``):
+sketch new queries with the stored config, probe the stored index, return
+per-query top-k by sketch distance under a threshold.  The oracle here
+recomputes the SAME sketch distances exhaustively (every query x every
+indexed item) and the probe must agree.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from gsearch_spark.config import PipelineConfig
+from gsearch_spark.operators.pipeline import NearDupPipeline
+from gsearch_spark.operators.request import request
+from gsearch_spark.oracle import oracle_minhash
+
+CFG = PipelineConfig()
+CKPT = "/tmp/gsearch_spark_ckpt_request"
+K = 3
+MAX_DIST = 0.6
+
+
+@pytest.fixture(scope="module")
+def rows(small_fixture_dir):
+    return pq.read_table(f"{small_fixture_dir}/images.parquet").to_pylist()
+
+
+@pytest.fixture(scope="module")
+def built(spark, small_fixture_dir):
+    shutil.rmtree(CKPT, ignore_errors=True)
+    images = spark.read.parquet(f"{small_fixture_dir}/images.parquet")
+    NearDupPipeline(spark, CFG, CKPT).run(images, resume=False)
+    return CKPT
+
+
+@pytest.fixture(scope="module")
+def query_rows(rows):
+    # every 7th row, re-identified — probes whose exact content IS indexed
+    return [dict(r, image_id="q_" + r["image_id"]) for r in rows[::7]]
+
+
+@pytest.fixture(scope="module")
+def query_df(spark, query_rows):
+    return spark.createDataFrame(
+        [(r["image_id"], r["bytes"], r["caption"], r["phash"])
+         for r in query_rows],
+        schema="image_id string, bytes binary, caption string, phash bigint")
+
+
+def _oracle_topk(query_rows, index_rows, k, max_dist):
+    """Exhaustive sketch-distance top-k with the request's exact rules:
+    phash-Hamming prefilter, dist = 1 - slot-agreement, tie-break on
+    target_id."""
+    q_mh = oracle_minhash(
+        np.array([r["phash"] for r in query_rows], dtype=np.int64),
+        [r["caption"] for r in query_rows], CFG).view(np.int64)
+    t_mh = oracle_minhash(
+        np.array([r["phash"] for r in index_rows], dtype=np.int64),
+        [r["caption"] for r in index_rows], CFG).view(np.int64)
+    q_ph = np.array([r["phash"] for r in query_rows],
+                    dtype=np.int64).view(np.uint64)
+    t_ph = np.array([r["phash"] for r in index_rows],
+                    dtype=np.int64).view(np.uint64)
+    out = {}
+    for qi, q in enumerate(query_rows):
+        ham = np.array([bin(int(q_ph[qi] ^ t)).count("1") for t in t_ph])
+        eq = (t_mh == q_mh[qi]).sum(axis=1)
+        dist = np.round(1.0 - np.round(eq / CFG.sketch_size, 6), 6)
+        cands = [(float(dist[ti]), index_rows[ti]["image_id"])
+                 for ti in range(len(index_rows))
+                 if ham[ti] <= CFG.prefilter_max_phash_hamming
+                 and dist[ti] <= max_dist]
+        cands.sort()
+        out[q["image_id"]] = cands[:k]
+    return out
+
+
+def test_request_matches_oracle(spark, built, rows, query_rows, query_df):
+    got = request(spark, built, query_df, k=K, max_distance=MAX_DIST)
+    by_query: "dict[str, list]" = {}
+    for r in sorted(got.collect(), key=lambda r: (r["query_id"], r["rank"])):
+        by_query.setdefault(r["query_id"], []).append(
+            (r["distance"], r["target_id"]))
+    want = _oracle_topk(query_rows, rows, K, MAX_DIST)
+
+    # every query's exact-content source is indexed => oracle top-1 has
+    # distance 0.0 and identical signatures guarantee band candidacy:
+    # top-1 must agree exactly (distance AND target id)
+    for q, truth in want.items():
+        assert truth and truth[0][0] == 0.0, f"{q}: fixture assumption broke"
+        assert q in by_query, f"{q}: no answers returned"
+        assert by_query[q][0] == truth[0], (
+            f"{q}: top-1 {by_query[q][0]} != oracle {truth[0]}")
+
+    # full top-k: the LSH probe may miss borderline candidates that share
+    # no band; demand >= 0.9 pair recall overall (observed 1.0 locally)
+    truth_pairs = {(q, t) for q, tk in want.items() for _, t in tk}
+    got_pairs = {(q, t) for q, tk in by_query.items() for _, t in tk}
+    recall = len(got_pairs & truth_pairs) / len(truth_pairs)
+    assert recall >= 0.9, f"top-{K} pair recall {recall:.3f}"
+
+
+def test_request_deterministic(spark, built, query_df):
+    a = sorted(map(tuple, request(spark, built, query_df, k=K,
+                                  max_distance=MAX_DIST).collect()))
+    b = sorted(map(tuple, request(spark, built, query_df, k=K,
+                                  max_distance=MAX_DIST,
+                                  broadcast_probe=False).collect()))
+    assert a == b  # same answers with and without the broadcast plan
+
+
+def test_request_refuses_mismatched_config(spark, built, query_df):
+    other = PipelineConfig(caption_kgram=4)
+    with pytest.raises(ValueError, match="does not match"):
+        request(spark, built, query_df, cfg=other)
