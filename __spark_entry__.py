@@ -120,6 +120,18 @@ def _q_images_request_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return request(spark, ckpt, probes, k=3, max_distance=0.6)
 
 
+def _q_images_sig_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gsearch_spark.operators.imagedup_sql import q_images_sig_minhash
+    path = os.path.join(_images_fixture(sf_dir), "images.parquet")
+    return q_images_sig_minhash(spark, path)
+
+
+def _q_images_lsh_pairs_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gsearch_spark.operators.imagedup_sql import q_images_lsh_pairs
+    path = os.path.join(_images_fixture(sf_dir), "images.parquet")
+    return q_images_lsh_pairs(spark, path)
+
+
 def _q_images_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     ckpt = _run_image_pipeline(spark, sf_dir)
@@ -143,6 +155,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "images_topk_report": _q_images_topk_report,
         "images_knn_adjacency": _q_images_knn_adjacency,
         "images_request_topk": _q_images_request_topk,
+        # SQL-expressible half of the flagship (phash+caption minhash /
+        # banding with an md5-derived hash family; DuckDB-oracled over the
+        # same fixture parquet the pipeline reads)
+        "images_sig_minhash": _q_images_sig_minhash,
+        "images_lsh_pairs_sql": _q_images_lsh_pairs_sql,
         # text dedup tier (DuckDB-oracled, md5-derived hashing)
         "exact_dedup_docs": textdedup.q_exact_dedup,
         "minhash_signatures_docs": textdedup.q_minhash_signatures,
@@ -160,6 +177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "knn_cosine_topk": ann.q_knn_cosine_topk,
         "ann_lsh_buckets": ann.q_ann_lsh_buckets,
+        "ann_lsh_topk": ann.q_ann_lsh_topk,
         # relational operator analogs (SURVEY §2 F/G/O/C)
         "scan_filter_project": relational.q_scan_filter_project,
         "rollup_lineitem": relational.q_rollup_lineitem,
@@ -175,7 +193,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from gsearch_spark.operators.imagedup_sql import (sql_images_lsh_pairs,
+                                                      sql_images_sig_minhash)
+    # The driver compares at sf0.01; the DuckDB side reads the fixture
+    # parquet directly, so make sure it exists no matter which of
+    # queries()/oracle_sql() the driver materializes first.
+    fixture_path = os.path.join(_images_fixture("/root/testdata/sf0.01"),
+                                "images.parquet")
     return {
+        "images_sig_minhash": sql_images_sig_minhash(fixture_path),
+        "images_lsh_pairs_sql": sql_images_lsh_pairs(fixture_path),
         "exact_dedup_docs": textdedup.SQL_EXACT_DEDUP,
         "minhash_signatures_docs": textdedup.SQL_MINHASH_SIGNATURES,
         "lsh_band_pairs_docs": textdedup.SQL_LSH_BAND_PAIRS,
@@ -190,6 +217,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": text.SQL_DOC_FINGERPRINT,
         "knn_cosine_topk": ann.SQL_KNN_COSINE_TOPK,
         "ann_lsh_buckets": ann.SQL_ANN_LSH_BUCKETS,
+        "ann_lsh_topk": ann.SQL_ANN_LSH_TOPK,
         "scan_filter_project": relational.SQL_SCAN_FILTER_PROJECT,
         "rollup_lineitem": relational.SQL_ROLLUP_LINEITEM,
         "topk_orders_per_customer": relational.SQL_TOPK_ORDERS_PER_CUSTOMER,

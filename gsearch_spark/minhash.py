@@ -23,6 +23,19 @@ Empty set:   slot b = hash2(b, seed') — deterministic, item-independent
 Estimator (for tests / diagnostics): Jaccard(A, B) ~= fraction of equal
 slots — exactly the reference's Hamming-over-sketch-slots distance
 (``d = 1 - J``, gsearch ``src/bin/bindash.rs:93-97``).
+
+``prob`` algo: the weighted-multiset sketch covering the reference's
+DEFAULT ``--algo prob`` (ProbMinHash, gsearch
+``src/dna/dnasketch.rs:499-519``, parse at ``src/bin/gsearch.rs:181-196``).
+ProbMinHash sketches a weighted multiset so repeated shingles count;
+we get the same query capability with the classic explicit-replication
+construction (each of an element's ``w`` occurrences becomes a distinct
+token hash(h, occurrence_index); standard MinHash over the expanded set
+estimates the weighted Jaccard J_w = sum min(w_A, w_B) / sum max(w_A,
+w_B) for integer weights — the replication trick referenced by Ioffe,
+ICDM 2010, §1).  Chosen over a literal ProbMinHash3a port because it is
+exactly vectorizable over Arrow batches and bit-reproducible in the
+numpy oracle; shingle multiplicities here are always integers.
 """
 
 from __future__ import annotations
@@ -36,6 +49,32 @@ _EMPTY = np.iinfo(np.uint64).max  # sentinel: bin never hit
 _MAX_DENSIFY_ROUNDS = 256
 
 
+def weighted_tokens(hashes: np.ndarray, row_ids: np.ndarray,
+                    seed: int = 42) -> "tuple[np.ndarray, np.ndarray]":
+    """Expand a per-row hash MULTISET into distinct weighted tokens.
+
+    The j-th occurrence of hash h within a row becomes hash_pair(h, j):
+    two rows sharing an element with weights w_a, w_b share exactly
+    min(w_a, w_b) tokens, so plain MinHash over the tokens estimates the
+    integer-weighted Jaccard (the ``prob`` algo's contract).
+    Vectorized: one lexsort + run-length occurrence numbering.
+    """
+    hashes = np.asarray(hashes, dtype=_U64)
+    row_ids = np.asarray(row_ids, dtype=np.int64)
+    if len(hashes) == 0:
+        return hashes, row_ids
+    order = np.lexsort((hashes, row_ids))
+    h_s, r_s = hashes[order], row_ids[order]
+    new_run = np.empty(len(h_s), dtype=bool)
+    new_run[0] = True
+    new_run[1:] = (h_s[1:] != h_s[:-1]) | (r_s[1:] != r_s[:-1])
+    run_id = np.cumsum(new_run) - 1
+    run_start = np.flatnonzero(new_run)
+    occ = (np.arange(len(h_s), dtype=np.int64)
+           - run_start[run_id]).astype(_U64)
+    return hash_pair_u64(h_s, occ, seed=seed ^ 0x9B0B), r_s
+
+
 def minhash_batch(hashes: np.ndarray, row_ids: np.ndarray, n_rows: int,
                   sketch_size: int, algo: str = "optdens",
                   seed: int = 42) -> np.ndarray:
@@ -45,8 +84,15 @@ def minhash_batch(hashes: np.ndarray, row_ids: np.ndarray, n_rows: int,
     belongs to.  Items with no shingles get the deterministic empty-set
     signature.  Fully vectorized; the densification loop iterates over
     attempts (a handful in practice), never over rows.
+
+    ``algo='prob'`` treats the hash stream as a MULTISET (weighted
+    Jaccard, the reference's default sketcher family); the set algos
+    (optdens/revoptdens) are multiplicity-insensitive by construction
+    (min over equal values).
     """
     S = sketch_size
+    if algo == "prob" and len(hashes) > 0:
+        hashes, row_ids = weighted_tokens(hashes, row_ids, seed=seed)
     sketch = np.full((n_rows, S), _EMPTY, dtype=_U64)
     if len(hashes) > 0:
         hashes = np.asarray(hashes, dtype=_U64)

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 TOP_K = 3
 N_PROJ = 8  # sign-projection bits for the LSH variant
+N_TABLES = 2  # independent band tables for the retrieval variant
 PROJ_PRIME = 2147483647
 
 
@@ -119,6 +120,126 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                            ELSE cast(0 AS bigint) END) AS bigint) AS bucket
       FROM proj GROUP BY vec_id
     """)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN retrieval completion (reference ``src/dna/dnarequest.rs:349-364``
+    semantics): banded multi-table probing — {N_TABLES} independent
+    sign-projection tables of {N_PROJ} bits; same-bucket vectors in ANY
+    table become candidates; exact cosine ranks per-query top-k.
+
+    Scale shape: pairwise work is per bucket (equi-join on (table,
+    bucket)), never global; ranking is one shuffle on vec_id.  This is
+    the embeddings-table twin of the image pipeline's band join.
+    """
+    _register(spark, sf_dir)
+    return spark.sql(f"""
+      WITH v AS (
+        SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS e
+        FROM embeddings
+      ),
+      norms AS (
+        SELECT vec_id, e,
+               sqrt(aggregate(e, cast(0.0 AS double),
+                              (acc, x) -> acc + x * x)) AS nrm
+        FROM v
+      ),
+      proj AS (
+        SELECT vec_id, t, b,
+               aggregate(
+                 zip_with(e, sequence(0, size(e) - 1),
+                   (x, i) -> x * (2.0 * cast(
+                       conv(substring(md5(concat(cast(t AS string), '_',
+                                                 cast(b AS string), '_',
+                                                 cast(i AS string))), 1, 8),
+                            16, 10) % 2 AS double) - 1.0)),
+                 cast(0.0 AS double), (acc, x) -> acc + x) AS s
+        FROM v
+        LATERAL VIEW explode(sequence(0, {N_TABLES - 1})) tt AS t
+        LATERAL VIEW explode(sequence(0, {N_PROJ - 1})) bb AS b
+      ),
+      buckets AS (
+        SELECT vec_id, t,
+               cast(sum(CASE WHEN s > 0 THEN shiftleft(cast(1 AS bigint), b)
+                             ELSE cast(0 AS bigint) END) AS bigint) AS bucket
+        FROM proj GROUP BY vec_id, t
+      ),
+      cands AS (
+        SELECT DISTINCT x.vec_id AS vec_id, y.vec_id AS nbr_id
+        FROM buckets x JOIN buckets y
+          ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id <> y.vec_id
+      ),
+      scored AS (
+        SELECT c.vec_id, c.nbr_id,
+               round(aggregate(zip_with(a.e, b.e, (x, y) -> x * y),
+                               cast(0.0 AS double),
+                               (acc, x) -> acc + x)
+                     / (a.nrm * b.nrm), 4) AS cos_sim
+        FROM cands c
+        JOIN norms a ON a.vec_id = c.vec_id
+        JOIN norms b ON b.vec_id = c.nbr_id
+      ),
+      ranked AS (
+        SELECT vec_id, nbr_id, cos_sim,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_sim DESC, nbr_id) AS rank
+        FROM scored
+      )
+      SELECT vec_id, nbr_id, cos_sim, cast(rank AS int) AS rank
+      FROM ranked WHERE rank <= {TOP_K}
+    """)
+
+
+SQL_ANN_LSH_TOPK = f"""
+  WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+    FROM embeddings
+  ),
+  norms AS (
+    SELECT vec_id, e,
+           sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+    FROM v
+  ),
+  proj AS (
+    SELECT vec_id, t, b,
+           list_sum(list_transform(generate_series(1, len(e)),
+             i -> e[i] * (2.0 * (('0x' || substr(md5(t::VARCHAR || '_'
+                          || b::VARCHAR || '_'
+                          || (i - 1)::VARCHAR), 1, 8))::BIGINT % 2)::DOUBLE
+                          - 1.0))) AS s
+    FROM v,
+         unnest(generate_series(0, {N_TABLES - 1})) AS tt(t),
+         unnest(generate_series(0, {N_PROJ - 1})) AS bb(b)
+  ),
+  buckets AS (
+    SELECT vec_id, t,
+           sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+             AS bucket
+    FROM proj GROUP BY vec_id, t
+  ),
+  cands AS (
+    SELECT DISTINCT x.vec_id AS vec_id, y.vec_id AS nbr_id
+    FROM buckets x JOIN buckets y
+      ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id <> y.vec_id
+  ),
+  scored AS (
+    SELECT c.vec_id, c.nbr_id,
+           round(list_sum(list_transform(generate_series(1, len(a.e)),
+                                         i -> a.e[i] * b.e[i]))
+                 / (a.nrm * b.nrm), 4) AS cos_sim
+    FROM cands c
+    JOIN norms a ON a.vec_id = c.vec_id
+    JOIN norms b ON b.vec_id = c.nbr_id
+  ),
+  ranked AS (
+    SELECT vec_id, nbr_id, cos_sim,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos_sim DESC, nbr_id) AS rank
+    FROM scored
+  )
+  SELECT vec_id, nbr_id, cos_sim, rank::INT AS rank
+  FROM ranked WHERE rank <= {TOP_K}
+"""
 
 
 SQL_ANN_LSH_BUCKETS = f"""

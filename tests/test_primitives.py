@@ -160,3 +160,61 @@ def test_caption_shingles_case_invariant():
     h1, _ = caption_shingles_batch(["Hello World"], 5, seed=1)
     h2, _ = caption_shingles_batch(["hello   world"], 5, seed=1)
     assert (np.sort(h1) == np.sort(h2)).all()
+
+
+def test_prob_minhash_weighted_jaccard_estimate():
+    """algo='prob' estimates the INTEGER-WEIGHTED Jaccard: multisets
+    {x: 2 for x in A} vs {x: 1 for x in A} have J_w = 1/2 but J_set = 1 —
+    the set algos see them as identical, prob must not."""
+    from gsearch_spark.minhash import minhash_batch, sketch_jaccard
+    h = hash_u64(np.arange(2000, dtype=np.uint64), seed=3)
+    # row 0: every element twice; row 1: every element once
+    hashes = np.concatenate([h, h, h])
+    rows = np.concatenate([np.zeros(4000, np.int64), np.ones(2000, np.int64)])
+    sk_set = minhash_batch(hashes, rows, 2, 128, "optdens", seed=42)
+    assert sketch_jaccard(sk_set[0], sk_set[1]) == 1.0  # blind to weights
+    ests = []
+    for t in range(8):
+        ht = hash_u64(np.arange(2000, dtype=np.uint64), seed=300 + t)
+        hs = np.concatenate([ht, ht, ht])
+        sk = minhash_batch(hs, rows, 2, 128, "prob", seed=42)
+        ests.append(sketch_jaccard(sk[0], sk[1]))
+    assert abs(float(np.mean(ests)) - 0.5) < 0.06
+
+
+def test_prob_minhash_bitexact_vs_naive_expansion():
+    """The vectorized occurrence-numbering path == a per-row dict-based
+    expansion fed through the same set sketcher (the prob contract)."""
+    from gsearch_spark.hashing import hash_pair_u64
+    from gsearch_spark.minhash import minhash_batch
+    rng = np.random.default_rng(11)
+    hashes = hash_u64(rng.integers(0, 50, 400).astype(np.uint64), seed=9)
+    rows = np.sort(rng.integers(0, 3, 400)).astype(np.int64)
+    got = minhash_batch(hashes, rows, 3, 64, "prob", seed=42)
+
+    tok_list, row_list = [], []
+    for r in range(3):
+        seen: "dict[int, int]" = {}
+        for hv in hashes[rows == r]:
+            j = seen.get(int(hv), 0)
+            seen[int(hv)] = j + 1
+            tok_list.append(hash_pair_u64(
+                np.array([hv], np.uint64), np.array([j], np.uint64),
+                seed=42 ^ 0x9B0B)[0])
+            row_list.append(r)
+    want = minhash_batch(np.array(tok_list, np.uint64),
+                         np.array(row_list, np.int64), 3, 64,
+                         "optdens", seed=42)
+    assert (got == want).all()
+
+
+def test_prob_minhash_order_invariant():
+    """Multiset sketch must not depend on the arrival order of hashes."""
+    from gsearch_spark.minhash import minhash_batch
+    rng = np.random.default_rng(13)
+    hashes = hash_u64(rng.integers(0, 30, 200).astype(np.uint64), seed=8)
+    rows = rng.integers(0, 2, 200).astype(np.int64)
+    a = minhash_batch(hashes, rows, 2, 64, "prob", seed=42)
+    perm = rng.permutation(200)
+    b = minhash_batch(hashes[perm], rows[perm], 2, 64, "prob", seed=42)
+    assert (a == b).all()
