@@ -47,7 +47,10 @@ def _run_image_pipeline(spark: SparkSession, sf_dir: str) -> str:
     """Run (or reuse) the checkpointed pipeline; returns checkpoint dir."""
     from gsearch_spark.operators.pipeline import NearDupPipeline
     fixture = _images_fixture(sf_dir)
-    ckpt = fixture + "_ckpt"
+    # config hash in the path: a config change (new fields, retuned knobs)
+    # gets a fresh checkpoint dir instead of tripping the parameters.json
+    # mixed-config refusal on a stale /tmp cache
+    ckpt = f"{fixture}_ckpt_{_CFG.config_hash()[:10]}"
     done = os.path.join(ckpt, "clusters", "_SUCCESS")
     if not os.path.exists(done):
         images = spark.read.parquet(os.path.join(fixture, "images.parquet"))

@@ -52,6 +52,15 @@ class PipelineConfig:
     # --- execution
     shuffle_partitions: int = 32
     pair_cap_per_bucket: int = 2000  # hard guard against pair explosion
+    # verify payload attach: "auto" counts candidate ids and broadcasts
+    # only under verify_broadcast_max_ids; "broadcast"/"shuffle" force a
+    # strategy (at 10^12 rows the id set is billions of keys — the
+    # shuffle-hash semi join is the scale path, broadcast the fast path)
+    verify_attach: str = "auto"
+    verify_broadcast_max_ids: int = 5_000_000
+    # hot-bucket salting: bound the driver-collected hot list; buckets
+    # beyond the cap stay unsalted (star policy still caps their pairs)
+    max_hot_buckets: int = 100_000
 
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band != self.sketch_size:
@@ -65,6 +74,8 @@ class PipelineConfig:
             raise ValueError("only 64-bit simhash supported")
         if self.caption_kgram < 1:
             raise ValueError("caption_kgram must be >= 1")
+        if self.verify_attach not in ("auto", "broadcast", "shuffle"):
+            raise ValueError(f"unknown verify_attach {self.verify_attach!r}")
 
     # -- persistence (parameters.json discipline) --------------------------
 

@@ -119,7 +119,8 @@ def explode_phash_bands(signatures: DataFrame, phash_bands: int = 4,
 
 
 def salt_hot_buckets(bands_df: DataFrame, hot_threshold: int,
-                     max_salts: int) -> DataFrame:
+                     max_salts: int,
+                     max_hot_buckets: int = 100_000) -> DataFrame:
     """Assign per-row salts; only buckets above hot_threshold are split.
 
     The hot-bucket list is tiny by construction (duplicate blow-ups, not
@@ -130,7 +131,16 @@ def salt_hot_buckets(bands_df: DataFrame, hot_threshold: int,
     having to persist) the exploded band table — persisting it here once
     poisoned a later incremental-add run through Spark's plan-keyed
     cache reuse.
+
+    The collect is BOUNDED: only the ``max_hot_buckets`` hottest buckets
+    are salted (deterministic order: size desc, then key), so the
+    driver-side list is O(max_hot_buckets) no matter the input size.
+    Buckets past the cap stay unsalted — still CORRECT (candidate
+    emission's star policy caps their pairs at 2m-3) just less balanced;
+    the truncation is logged, never silent.
     """
+    import logging
+
     spark = bands_df.sparkSession
     hot_rows = (bands_df.groupBy("band_id", "band_hash")
                 .agg(F.count(F.lit(1)).alias("bucket_n"))
@@ -140,8 +150,16 @@ def salt_hot_buckets(bands_df: DataFrame, hot_threshold: int,
                     F.least(F.lit(max_salts),
                             F.ceil(F.col("bucket_n") / hot_threshold)
                             .cast("int")))
+                .orderBy(F.desc("bucket_n"), "band_id", "band_hash")
+                .limit(max_hot_buckets + 1)
                 .select("band_id", "band_hash", "n_salt")
                 .collect())
+    if len(hot_rows) > max_hot_buckets:
+        hot_rows = hot_rows[:max_hot_buckets]
+        logging.getLogger(__name__).warning(
+            "salt_hot_buckets: more than %d hot buckets; salting only the "
+            "%d hottest (tail stays unsalted, star policy bounds its pairs)",
+            max_hot_buckets, max_hot_buckets)
     stats = spark.createDataFrame(
         hot_rows, schema="band_id int, band_hash bigint, n_salt int")
     return (bands_df
@@ -175,11 +193,17 @@ def explode_all_bands(signatures: DataFrame, cfg) -> DataFrame:
            .filter(F.col("cap_hash") != F.lit(EMPTY_CAPTION_HASH))
            .select(F.lit(CAPTION_BAND_ID).alias("band_id"),
                    F.col("cap_hash").alias("band_hash"), "image_id"))
-    # empty-caption rows can't use the caption band; give THEM (and only
-    # them — a tiny cohort) phash chunk-pair bands for re-encode coverage
-    ph = explode_phash_bands(
-        signatures.filter(F.col("cap_hash") == F.lit(EMPTY_CAPTION_HASH)),
-        cfg.phash_bands)
+    # phash chunk-pair bands for ALL rows: the only net with GUARANTEED
+    # Hamming<=2 coverage of the re-encode regime.  A lossy re-encode at
+    # PSNR 40-43 dB flips 1-2 phash bits but can flip 40-60 pixel-feature
+    # simhash bits (measured: the simhash net is fragile exactly where
+    # re-encodes live), and a simultaneously TRUNCATED caption drops
+    # minhash J to ~0.5 and kills the caption-identity band — so without
+    # these bands a (re-encoded pixels, substring caption) dup can evade
+    # every net (caught by tests/test_suffix_array.py adversarial case).
+    # Junk cost is bounded: 32-bit pair keys (not raw 16-bit chunks),
+    # salting, star policy, and the phash prefilter before any decode.
+    ph = explode_phash_bands(signatures, cfg.phash_bands)
     return mh.unionByName(sh).unionByName(cap).unionByName(ph)
 
 
@@ -192,4 +216,5 @@ def build_bands(signatures: DataFrame, cfg) -> DataFrame:
     no cached plan can leak into later runs over the same checkpoint.
     """
     return salt_hot_buckets(explode_all_bands(signatures, cfg),
-                            cfg.hot_band_threshold, cfg.band_salts)
+                            cfg.hot_band_threshold, cfg.band_salts,
+                            max_hot_buckets=cfg.max_hot_buckets)

@@ -15,6 +15,16 @@ n), fully numpy) locates every caption that occurs inside another.  Exact
 caption *equality* across different pixels is the MinHash/exact path's
 job, not this pass's.
 
+COVERAGE CONTRACT: this pass catches substring-caption dups with
+IDENTICAL pixels (same phash).  A pair that is BOTH lossy-re-encoded
+(phash flips 1-2 bits) AND caption-truncated lands in different phash
+groups and is NOT this pass's job — it is caught by the phash
+chunk-pair band net (exact Hamming <= 2 coverage over ALL rows, see
+banding.explode_phash_bands), and verify's substring rule then accepts
+the pair.  tests/test_suffix_array.py::
+test_reencode_plus_truncation_caught_by_phash_net proves it end-to-end
+with an adversarial fixture.
+
 Within a group, images sharing the same caption value are represented by
 their minimum image_id — identical (pixels, caption) rows are already
 connected by the exact/minhash path, so representative edges keep the
@@ -133,6 +143,45 @@ def containment_pairs_in_group(captions: "list[str]",
     return out
 
 
+def group_containment_pairs(pdf: pd.DataFrame,
+                            cap: int = _GROUP_CAPTION_CAP) -> pd.DataFrame:
+    """One phash group -> suffix candidate pairs (a, b, src).
+
+    Groups with more than ``cap`` distinct captions run the suffix array
+    over the ``cap`` smallest; the TAIL IS NOT DROPPED — every tail
+    owner gets star candidate edges to the 2 smallest in-budget owners
+    (2 per row, never O(n^2)).  Verify applies the real containment
+    rule, so the extra candidates cost one check each and lose nothing;
+    the truncation is logged, never silent.
+    """
+    normed = pdf["caption"].fillna("").map(normalize_caption)
+    mask = normed.str.len() > 0
+    empty = pd.DataFrame({"a": [], "b": [], "src": []})
+    if mask.sum() < 2:
+        return empty
+    sub = pd.DataFrame({"caption": normed[mask].to_numpy(),
+                        "image_id": pdf.loc[mask, "image_id"].to_numpy()})
+    reps = sub.groupby("caption", sort=True)["image_id"].min()
+    if len(reps) < 2:
+        return empty
+    captions = list(reps.index[:cap])
+    owners = list(reps.to_numpy()[:cap])
+    pairs = containment_pairs_in_group(captions, owners)
+    if len(reps) > cap:
+        import logging
+        logging.getLogger(__name__).warning(
+            "suffix pass: phash group with %d distinct captions exceeds "
+            "cap %d; emitting star edges for the tail", len(reps), cap)
+        hubs = sorted(owners)[:2]
+        for t in reps.to_numpy()[cap:]:
+            for h in hubs:
+                pairs.append((h, t) if h < t else (t, h))
+    if not pairs:
+        return empty
+    a, b = zip(*sorted(set(pairs)))
+    return pd.DataFrame({"a": list(a), "b": list(b), "src": "suffix"})
+
+
 def suffix_candidate_pairs(images: DataFrame) -> DataFrame:
     """images -> suffix-source candidate pairs, grouped by phash.
 
@@ -146,23 +195,7 @@ def suffix_candidate_pairs(images: DataFrame) -> DataFrame:
     """
 
     def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        normed = pdf["caption"].fillna("").map(normalize_caption)
-        mask = normed.str.len() > 0
-        empty = pd.DataFrame({"a": [], "b": [], "src": []})
-        if mask.sum() < 2:
-            return empty
-        sub = pd.DataFrame({"caption": normed[mask].to_numpy(),
-                            "image_id": pdf.loc[mask, "image_id"].to_numpy()})
-        reps = sub.groupby("caption", sort=True)["image_id"].min()
-        if len(reps) < 2:
-            return empty
-        captions = list(reps.index[:_GROUP_CAPTION_CAP])
-        owners = list(reps.to_numpy()[:_GROUP_CAPTION_CAP])
-        pairs = containment_pairs_in_group(captions, owners)
-        if not pairs:
-            return empty
-        a, b = zip(*sorted(set(pairs)))
-        return pd.DataFrame({"a": list(a), "b": list(b), "src": "suffix"})
+        return group_containment_pairs(pdf, cap=_GROUP_CAPTION_CAP)
 
     ncap = F.lower(F.regexp_replace(F.trim(F.col("caption")), r"\s+", " "))
     docs = (images.select("phash", "image_id", "caption")

@@ -28,6 +28,14 @@ from gsearch_spark.codec import decode_image, psnr
 from gsearch_spark.config import PipelineConfig
 from gsearch_spark.shingles import normalize_caption
 
+# psnr sentinel convention (documented contract, not an accident):
+#   +1e9  = pixels bit-identical (PSNR would be +inf)
+#   -1e9  = shape mismatch (PSNR undefined; never a dup)
+# Sentinels instead of IEEE inf keep downstream arithmetic (report
+# distance 1/(1+psnr)) and cross-engine canonicalization well-defined.
+PSNR_IDENTICAL = 1e9
+PSNR_SHAPE_MISMATCH = -1e9
+
 VERIFIED_SCHEMA = ("a string, b string, src string, psnr double, "
                    "caption_eq boolean, dup boolean")
 
@@ -58,22 +66,36 @@ def prefilter_pairs(pairs: DataFrame, images: DataFrame,
             .select("a", "b", "src"))
 
 
-def attach_payloads(pairs: DataFrame, images: DataFrame) -> DataFrame:
+def attach_payloads(pairs: DataFrame, images: DataFrame,
+                    strategy: str = "auto",
+                    broadcast_max_ids: int = 5_000_000) -> DataFrame:
     """pairs (a,b,src) + images -> one row per pair with both payloads.
 
     ``bytes`` is the expensive column; a left-semi prefilter restricts the
     images side to ids that actually appear in a candidate pair BEFORE the
-    two payload joins, so only candidate payloads ever shuffle (AQE turns
-    the semi join into a broadcast when the candidate id set is small).
+    two payload joins, so only candidate payloads ever shuffle.
+
+    Semi-join strategy (cfg.verify_attach): the id set is keys-only and
+    normally orders of magnitude smaller than the table, so ``broadcast``
+    is the fast path — but at 10^12 rows it can reach billions of keys
+    and OOM the driver.  ``auto`` counts the ids (a cheap keys-only agg
+    over the checkpointed pairs) and falls back to a SHUFFLE-HASH semi
+    join above ``broadcast_max_ids``; the shuffle path shuffles the
+    payload table once on image_id, which is bounded and spillable.
     """
     cand_ids = (pairs.select(F.col("a").alias("image_id"))
                 .union(pairs.select(F.col("b").alias("image_id")))
                 .distinct())
-    # broadcast: the id set is keys-only (bytes-free) and orders of
-    # magnitude smaller than the table; a sort-merge semi join here would
-    # shuffle all payloads and defeat the point.  (On a real 10^12-row
-    # deployment this becomes a storage-partitioned / bucketed semi join.)
-    slim = images.join(F.broadcast(cand_ids), "image_id", "left_semi") \
+    if strategy == "auto":
+        strategy = ("broadcast" if cand_ids.count() <= broadcast_max_ids
+                    else "shuffle")
+    if strategy == "broadcast":
+        semi = F.broadcast(cand_ids)
+    else:
+        # shuffle-hash, not sort-merge: the build side (ids) is tiny per
+        # partition and the probe side (payloads) must not be sorted
+        semi = cand_ids.hint("shuffle_hash")
+    slim = images.join(semi, "image_id", "left_semi") \
                  .select("image_id", "bytes", "caption")
     left = slim.select(F.col("image_id").alias("a"),
                        F.col("bytes").alias("bytes_a"),
@@ -112,7 +134,8 @@ def verify_pairs(pairs_with_payloads: DataFrame,
                 nb = normalize_caption(pdf["caption_b"].iat[i])
                 c = (na == nb) or (min(len(na), len(nb)) > 0
                                    and (na in nb or nb in na))
-                psnrs[i] = p if np.isfinite(p) else (1e9 if p > 0 else -1e9)
+                psnrs[i] = p if np.isfinite(p) else (
+                    PSNR_IDENTICAL if p > 0 else PSNR_SHAPE_MISMATCH)
                 cap_ok[i] = c
                 dup[i] = (p >= min_db) and c
             yield pd.DataFrame({
@@ -138,6 +161,9 @@ def verified_edges(pairs: DataFrame, images: DataFrame,
     attach -> pixel/caption verify (phase 2, Arrow); keep dup edges."""
     plausible = prefilter_pairs(pairs, images,
                                 cfg.prefilter_max_phash_hamming)
-    verdicts = verify_pairs(attach_payloads(plausible, images), cfg)
+    attached = attach_payloads(plausible, images,
+                               strategy=cfg.verify_attach,
+                               broadcast_max_ids=cfg.verify_broadcast_max_ids)
+    verdicts = verify_pairs(attached, cfg)
     return verdicts.filter(F.col("dup")).select(
         "a", "b", "src", "psnr", "caption_eq")

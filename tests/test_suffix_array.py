@@ -56,3 +56,78 @@ def test_containment_identical_captions_not_paired():
     # reach containment_pairs_in_group — simulate the contract
     pairs = containment_pairs_in_group(["same text"], ["only"])
     assert pairs == []
+
+
+def test_group_cap_tail_gets_star_edges():
+    """Captions past the suffix-array budget are not dropped: tail owners
+    get star candidate edges to the 2 smallest in-budget owners."""
+    import pandas as pd
+    from gsearch_spark.operators.suffix import group_containment_pairs
+    # 8 distinct captions; with cap=4 the last 4 are tail.  'aa bb' is
+    # contained in 'aa bb cc' (in-budget pair); tail captions share
+    # nothing but must still appear via star edges.
+    caps = ["aa bb", "aa bb cc", "dd ee", "ff gg",
+            "hh ii", "jj kk", "ll mm", "nn oo"]
+    pdf = pd.DataFrame({"caption": caps,
+                        "image_id": [f"i{j}" for j in range(8)],
+                        "phash": [7] * 8})
+    out = group_containment_pairs(pdf, cap=4)
+    got = set(zip(out["a"], out["b"]))
+    assert ("i0", "i1") in got                      # real containment kept
+    hubs = {"i0", "i1"}                             # 2 smallest owners
+    for tail in ("i4", "i5", "i6", "i7"):
+        assert any((min(h, tail), max(h, tail)) in got for h in hubs), tail
+
+
+def test_reencode_plus_truncation_caught_by_phash_net(spark, tmp_path):
+    """Adversarial coverage proof (suffix-pass contract): a dup that is
+    BOTH lossy-re-encoded (phash changes => different suffix-pass group)
+    AND caption-truncated (strict substring => weaker minhash overlap,
+    no caption-band identity) must still cluster with its source — the
+    phash chunk-pair band net (exact Hamming<=2 coverage) is the
+    catcher; measured simhash Hamming under this codec's q85 re-encode
+    reaches 40-60 bits, so the pixel-simhash net cannot be."""
+    import numpy as np
+    from gsearch_spark.codec import decode_image, encode_image
+    from gsearch_spark.config import PipelineConfig
+    from gsearch_spark.generator import _base_pixels, _vocab
+    from gsearch_spark.operators.pipeline import NearDupPipeline
+    from gsearch_spark.phash import phash64
+
+    vocab = _vocab(42)
+    rng = np.random.default_rng(77)
+    rows = []
+    n_base, n_dups = 40, 20
+    for i in range(n_base):
+        px = _base_pixels(i, seed=77)
+        cap = " ".join(vocab[j] for j in rng.integers(0, len(vocab), 10))
+        data = encode_image(px, "png")
+        rows.append(("adv_%04d" % i, data, cap,
+                     phash64(decode_image(data))))
+    planted = []
+    for i in range(n_dups):
+        src_id, src_bytes, src_cap, _ = rows[i]
+        decoded = decode_image(src_bytes)
+        data = encode_image(decoded, "jpeg", quality=85)  # PSNR ~42 dB
+        cap = " ".join(src_cap.split()[:6])  # strict prefix substring
+        rid = "adv_d%03d" % i
+        rows.append((rid, data, cap, phash64(decode_image(data))))
+        planted.append((src_id, rid))
+
+    # the pairs that matter are those whose phash MOVED (different
+    # suffix-pass group AND no exact-collapse); require enough of them
+    # for the test to mean something (seed-fixed => deterministic count)
+    by_id = {r[0]: r for r in rows}
+    moved = [(a, b) for a, b in planted if by_id[a][3] != by_id[b][3]]
+    assert len(moved) >= 5, (
+        f"fixture too tame: only {len(moved)} re-encodes moved phash")
+
+    images = spark.createDataFrame(
+        rows, schema="image_id string, bytes binary, caption string, "
+                     "phash bigint")
+    clusters = NearDupPipeline(spark, PipelineConfig(),
+                               str(tmp_path / "ckpt")).run(images,
+                                                           resume=False)
+    assign = {r["image_id"]: r["cluster_id"] for r in clusters.collect()}
+    missed = [(a, b) for a, b in planted if assign[a] != assign[b]]
+    assert not missed, f"adversarial pairs not clustered: {missed}"
