@@ -30,6 +30,10 @@ class PipelineConfig:
     """
 
     seed: int = 42
+    # signature code version: bump whenever a hash function CHANGES so old
+    # checkpoints (whose stored values the new code can't reproduce) fail
+    # the parameters.json hash check instead of silently mixing
+    sig_version: int = 2
     # --- shingling (reference: k-mer generation, src/dna/dnasketch.rs:499-518)
     caption_kgram: int = 5           # caption character k-grams
     phash_shingle_bits: int = 16     # width of phash bit n-gram shingles
@@ -61,6 +65,10 @@ class PipelineConfig:
     # hot-bucket salting: bound the driver-collected hot list; buckets
     # beyond the cap stay unsalted (star policy still caps their pairs)
     max_hot_buckets: int = 100_000
+    # CC lineage cuts: False = localCheckpoint (fast, executor-local);
+    # True = per-iteration Parquet under the checkpoint dir (survives
+    # executor loss on a real cluster)
+    cc_reliable_checkpoints: bool = False
 
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band != self.sketch_size:
@@ -107,10 +115,27 @@ class PipelineConfig:
 
     def assert_matches(self, checkpoint_dir: str) -> None:
         """Refuse mixed-config resume (gsearch src/bin/gsearch.rs:714-742)."""
-        stored = PipelineConfig.reload(checkpoint_dir)
+        self._assert_same(PipelineConfig.reload(checkpoint_dir))
+
+    def _assert_same(self, stored: "PipelineConfig") -> None:
         if stored.config_hash() != self.config_hash():
             raise ValueError(
                 "checkpoint was produced with a different pipeline config: "
                 f"stored={stored.config_hash()} current={self.config_hash()}; "
                 "refusing to resume (reference parameters.json discipline)"
             )
+
+    # -- FS-routed variants (checkpoint roots on hdfs:// / s3a:// / file:/)
+
+    def dump_via(self, fs, checkpoint_dir: str) -> str:
+        fs.mkdirs(checkpoint_dir)
+        path = f"{checkpoint_dir}/parameters.json"
+        fs.write_text(path, self.to_json())
+        return path
+
+    @classmethod
+    def reload_via(cls, fs, checkpoint_dir: str) -> "PipelineConfig":
+        return cls.from_json(fs.read_text(f"{checkpoint_dir}/parameters.json"))
+
+    def assert_matches_via(self, fs, checkpoint_dir: str) -> None:
+        self._assert_same(PipelineConfig.reload_via(fs, checkpoint_dir))

@@ -1,0 +1,63 @@
+"""Filesystem adapter for checkpoint plumbing (Hadoop FileSystem API).
+
+The round-1 pipeline used driver-local ``os.path`` / ``shutil`` calls for
+its checkpoint discipline, which is wrong the moment the checkpoint root
+is ``hdfs://`` or ``s3a://``.  This thin wrapper routes every
+metadata-sized operation (existence probes, parameters.json read/write,
+stage invalidation, atomic-ish rename) through the SAME Hadoop
+FileSystem Spark writes the data through, so ``file:/`` local runs and
+object-store runs take one code path.  (Reference analog: the dump/load
+plumbing of gsearch ``src/utils/dumpload.rs:15-62`` — always beside the
+index, whatever the storage.)
+
+Data-sized IO never goes through here — stages read/write Parquet via
+Spark itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+class CheckpointFS:
+    """Tiny facade over org.apache.hadoop.fs.FileSystem for one root."""
+
+    def __init__(self, spark: SparkSession, path_hint: str):
+        sc = spark.sparkContext
+        self._jvm = sc._jvm
+        hconf = sc._jsc.hadoopConfiguration()
+        self._fs = self._jvm.org.apache.hadoop.fs.Path(
+            path_hint).getFileSystem(hconf)
+
+    def _p(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs.exists(self._p(path)))
+
+    def mkdirs(self, path: str) -> bool:
+        return bool(self._fs.mkdirs(self._p(path)))
+
+    def delete(self, path: str) -> bool:
+        """Recursive delete; True if something was removed."""
+        return bool(self._fs.delete(self._p(path), True))
+
+    def rename(self, src: str, dst: str) -> bool:
+        """Atomic on HDFS/posix; copy-ish on object stores — callers only
+        rename METADATA-STAGED directories, never live query inputs."""
+        return bool(self._fs.rename(self._p(src), self._p(dst)))
+
+    def write_text(self, path: str, text: str) -> None:
+        out = self._fs.create(self._p(path), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def read_text(self, path: str) -> str:
+        stream = self._fs.open(self._p(path))
+        try:
+            return str(self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"))
+        finally:
+            stream.close()

@@ -56,22 +56,38 @@ def _fingerprint(e: DataFrame) -> "tuple[int, int]":
     return (row["n"] or 0, row["h"] or 0)
 
 
-def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 50,
+                         checkpoint_dir: "str | None" = None) -> DataFrame:
     """edges(a, b) -> clusters(image_id, cluster_id).
 
     Every vertex present in the edge set gets a row; callers union the
     vertex universe back for singletons (see ``assign_clusters``).
+
+    Lineage is cut per iteration.  Default: ``localCheckpoint`` (fast,
+    executor-local — fine single-node / fault-tolerant-enough for short
+    jobs).  With ``checkpoint_dir`` set, each iteration round-trips
+    through Parquet under that directory instead — a RELIABLE checkpoint
+    that survives executor loss on a real cluster (the edge set shrinks
+    every round, so the IO is small and bounded).
     """
-    e = (edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
-         .filter(F.col("u") != F.col("v"))
-         .distinct()
-         .localCheckpoint())
+    spark = edges.sparkSession
+
+    def cut(df: DataFrame, step: int) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.localCheckpoint()
+        path = f"{checkpoint_dir}/cc_iter_{step}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    e = cut(edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct(), 0)
     if e.isEmpty():
         return e.select(F.col("u").alias("image_id"),
                         F.col("v").alias("cluster_id"))
     prev = None
-    for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
+    for i in range(max_iter):
+        e = cut(_small_star(_large_star(e)), i + 1)
         fp = _fingerprint(e)
         if fp == prev:
             break
@@ -86,9 +102,10 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     return children.union(roots).distinct()
 
 
-def assign_clusters(edges: DataFrame, images: DataFrame) -> DataFrame:
+def assign_clusters(edges: DataFrame, images: DataFrame,
+                    checkpoint_dir: "str | None" = None) -> DataFrame:
     """Full assignment incl. singletons: every image gets a cluster_id."""
-    comp = connected_components(edges)
+    comp = connected_components(edges, checkpoint_dir=checkpoint_dir)
     ids = images.select("image_id")
     return (ids.join(comp, "image_id", "left")
             .select("image_id",

@@ -28,6 +28,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from gsearch_spark.config import PipelineConfig
+from gsearch_spark.fs import CheckpointFS
 from gsearch_spark.operators.banding import build_bands
 from gsearch_spark.operators.candidates import bucket_stats, emit_bucket_pairs
 from gsearch_spark.operators.cc import assign_clusters
@@ -58,6 +59,9 @@ class NearDupPipeline:
         self.spark = spark
         self.cfg = cfg
         self.dir = checkpoint_dir
+        # all checkpoint metadata IO goes through the Hadoop FS of the
+        # checkpoint root, so file:/, hdfs:// and s3a:// behave the same
+        self.fs = CheckpointFS(spark, checkpoint_dir)
         self.records: "list[StageRecord]" = []
 
     # ------------------------------------------------------------ plumbing
@@ -66,7 +70,7 @@ class NearDupPipeline:
         return os.path.join(self.dir, stage)
 
     def _done(self, stage: str) -> bool:
-        return os.path.exists(os.path.join(self._path(stage), "_SUCCESS"))
+        return self.fs.exists(os.path.join(self._path(stage), "_SUCCESS"))
 
     def _write_stage(self, stage: str, df: DataFrame) -> DataFrame:
         path = self._path(stage)
@@ -109,13 +113,13 @@ class NearDupPipeline:
     # ------------------------------------------------------------ stages
 
     def run(self, images: DataFrame, resume: bool = True) -> DataFrame:
-        os.makedirs(self.dir, exist_ok=True)
+        self.fs.mkdirs(self.dir)
         params = os.path.join(self.dir, "parameters.json")
-        if os.path.exists(params):
+        if self.fs.exists(params):
             # reference parameters.json discipline: refuse mixed-config
-            self.cfg.assert_matches(self.dir)
+            self.cfg.assert_matches_via(self.fs, self.dir)
         else:
-            self.cfg.dump(self.dir)
+            self.cfg.dump_via(self.fs, self.dir)
 
         n_images = images.count()
 
@@ -175,9 +179,10 @@ class NearDupPipeline:
             pairs = self._record("candidate_pairs", pairs, t0, skipped=False)
             # no silent caps: surface bucket policy stats in the log
             stats = bucket_stats(bands).collect()[0].asDict()
-            with open(os.path.join(self.dir, "bucket_stats.json"), "w") as f:
-                json.dump({k: (float(v) if v is not None else None)
-                           for k, v in stats.items()}, f)
+            self.fs.write_text(
+                os.path.join(self.dir, "bucket_stats.json"),
+                json.dumps({k: (float(v) if v is not None else None)
+                            for k, v in stats.items()}))
 
         # -- stage 4: verified edges --------------------------------------
         t0 = time.time()
@@ -197,7 +202,10 @@ class NearDupPipeline:
             clusters = self.spark.read.parquet(self._path("clusters"))
             clusters = self._record("clusters", clusters, t0, skipped=True)
         else:
-            rep_clusters = assign_clusters(edges, images_rep)
+            cc_dir = (os.path.join(self.dir, "cc_work")
+                      if self.cfg.cc_reliable_checkpoints else None)
+            rep_clusters = assign_clusters(edges, images_rep,
+                                           checkpoint_dir=cc_dir)
             clusters = self._write_stage(
                 "clusters", expand_clusters(rep_clusters, groups))
             clusters = self._record("clusters", clusters, t0, skipped=False)
@@ -232,10 +240,8 @@ def incremental_add(spark: SparkSession, cfg: PipelineConfig,
     ``all_images`` must be old ∪ new (verification needs both payloads).
     Returns the new clusters DataFrame.
     """
-    import shutil
-
-    cfg.assert_matches(checkpoint_dir)
     pipe = NearDupPipeline(spark, cfg, checkpoint_dir)
+    cfg.assert_matches_via(pipe.fs, checkpoint_dir)
     old_sigs = spark.read.parquet(pipe._path("signatures"))
 
     # exact groups over the union: a new row can even displace an old
@@ -251,15 +257,16 @@ def incremental_add(spark: SparkSession, cfg: PipelineConfig,
     merged = (old_sigs.join(reps_all, "image_id", "left_semi")
               .unionByName(new_sigs))
 
-    # stage atomically, then invalidate downstream
+    # stage atomically, then invalidate downstream (FS-routed: works the
+    # same on file:/, hdfs://, s3a:// checkpoint roots)
     tmp = pipe._path("signatures") + "_adding"
     merged.write.mode("overwrite").parquet(tmp)
     tmp_g = pipe._path("exact_groups") + "_adding"
     groups.write.mode("overwrite").parquet(tmp_g)
-    shutil.rmtree(pipe._path("signatures"))
-    os.rename(tmp, pipe._path("signatures"))
-    shutil.rmtree(pipe._path("exact_groups"))
-    os.rename(tmp_g, pipe._path("exact_groups"))
+    pipe.fs.delete(pipe._path("signatures"))
+    pipe.fs.rename(tmp, pipe._path("signatures"))
+    pipe.fs.delete(pipe._path("exact_groups"))
+    pipe.fs.rename(tmp_g, pipe._path("exact_groups"))
     for stage in ("bands", "candidate_pairs", "verified_edges", "clusters"):
-        shutil.rmtree(pipe._path(stage), ignore_errors=True)
+        pipe.fs.delete(pipe._path(stage))
     return pipe.run(all_images, resume=True)

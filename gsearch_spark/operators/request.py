@@ -119,7 +119,9 @@ def request(spark: SparkSession, checkpoint_dir: str,
       caption, phash.
     * Returns ANSWERS_SCHEMA rows; distance = 1 - minhash-slot agreement.
     """
-    stored_cfg = PipelineConfig.reload(checkpoint_dir)
+    from gsearch_spark.fs import CheckpointFS
+    stored_cfg = PipelineConfig.reload_via(CheckpointFS(spark, checkpoint_dir),
+                                           checkpoint_dir)
     if cfg is not None and cfg.config_hash() != stored_cfg.config_hash():
         raise ValueError(
             "request config does not match the stored build: "

@@ -38,17 +38,38 @@ SEED_CAPHASH = 0xCA9
 
 def caption_hash_batch(captions: "list[str]") -> np.ndarray:
     """64-bit identity hash of the NORMALIZED caption (int64); the
-    constant for empty captions is exported as EMPTY_CAPTION_HASH."""
-    out = np.empty(len(captions), dtype=np.uint64)
-    for i, c in enumerate(captions):
-        b = normalize_caption(c).encode("utf-8")
-        acc = np.uint64(len(b))
+    constant for empty captions is exported as EMPTY_CAPTION_HASH.
+
+    Fully vectorized over the batch (cfg.sig_version 2; v1 was a per-row
+    Python byte loop): a Rabin-Karp polynomial over the whole normalized
+    byte string — H_i = sum_j buf[j] * P^(end_i-1-j) (mod 2^64), one
+    segmented sum over the concatenated buffer — finalized with the
+    length via hash_pair.  Order- and length-sensitive; collisions are
+    2^-64-grade, which is all an identity band key needs.
+    """
+    from gsearch_spark.hashing import (_POLY_MULT, concat_with_offsets,
+                                       hash_pair_u64)
+    n = len(captions)
+    normed = [normalize_caption(c).encode("utf-8") for c in captions]
+    buf, offsets = concat_with_offsets(normed)
+    lens = (offsets[1:] - offsets[:-1]).astype(np.uint64)
+    acc = np.zeros(n, dtype=np.uint64)
+    if len(buf) > 0:
         with np.errstate(over="ignore"):
-            for chunk in (b[j:j + 8] for j in range(0, len(b), 8)):
-                acc = acc * np.uint64(0x100000001B3) ^ np.uint64(
-                    int.from_bytes(chunk, "little"))
-        out[i] = hash_u64(np.array([acc]), seed=SEED_CAPHASH)[0]
-    return out.view(np.int64)
+            max_len = int(lens.max())
+            pows = np.empty(max_len, dtype=np.uint64)
+            pows[0] = np.uint64(1)
+            if max_len > 1:
+                np.multiply.accumulate(
+                    np.full(max_len - 1, _POLY_MULT, dtype=np.uint64),
+                    out=pows[1:])
+            end_per_elem = np.repeat(offsets[1:], lens.astype(np.int64))
+            expo = end_per_elem - 1 - np.arange(len(buf), dtype=np.int64)
+            terms = buf.astype(np.uint64) * pows[expo]
+            nonzero = lens > 0
+            acc[nonzero] = np.add.reduceat(
+                terms, offsets[:-1][nonzero.nonzero()[0]])
+    return hash_pair_u64(acc, lens, seed=SEED_CAPHASH).view(np.int64)
 
 
 EMPTY_CAPTION_HASH = int(caption_hash_batch([""])[0])
