@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_jaccard_docs": textdedup.q_hamming_jaccard,
         "substring_pairs_docs": textdedup.q_substring_pairs,
         "dedup_edge_union": textdedup.q_dedup_edge_union,
+        "fracminhash_containment": textdedup.q_fracminhash_containment,
         # text analysis
         "token_count": text.q_token_count,
         "quality_score": text.q_quality_score,
@@ -214,6 +215,7 @@ def oracle_sql() -> dict[str, str]:
         "hamming_jaccard_docs": textdedup.SQL_HAMMING_JACCARD,
         "substring_pairs_docs": textdedup.SQL_SUBSTRING_PAIRS,
         "dedup_edge_union": textdedup.SQL_DEDUP_EDGE_UNION,
+        "fracminhash_containment": textdedup.SQL_FRACMINHASH_CONTAINMENT,
         "token_count": text.SQL_TOKEN_COUNT,
         "quality_score": text.SQL_QUALITY_SCORE,
         "lang_guess": text.SQL_LANG_GUESS,

@@ -74,6 +74,19 @@ def main() -> None:
         f"pipeline_{k}": v for k, v in stage_s.items()}
     queries["pipeline_total"] = round(pipe_total, 3)
 
+    # ---- build-vs-probe: request against the fresh build ---------------
+    from pyspark.sql import functions as F
+    from gsearch_spark.operators.request import request
+    probes = (images
+              .filter(F.pmod(F.xxhash64("image_id"), F.lit(50)) == 0)
+              .select(F.concat(F.lit("q_"), F.col("image_id"))
+                      .alias("image_id"), "bytes", "caption", "phash"))
+    n_probes = probes.count()
+    t0 = time.time()
+    request(spark, ckpt, probes, k=5, max_distance=0.6).write.format(
+        "noop").mode("overwrite").save()
+    queries["request_topk"] = round(time.time() - t0, 3)
+
     # ---- representative driver-table queries ---------------------------
     qmap = entrymod.queries()
     for name in DOC_QUERIES:
@@ -95,6 +108,10 @@ def main() -> None:
         "images_per_sec_sig_lsh": round(n_images / sig_lsh, 1)
         if sig_lsh else None,
         "images_per_sec_pipeline": round(n_images / pipe_total, 1),
+        "n_probes": n_probes,
+        "probes_per_sec_request": round(
+            n_probes / queries["request_topk"], 1)
+        if queries.get("request_topk") else None,
     }
     spark.stop()
     print(json.dumps(out))

@@ -24,7 +24,8 @@ def main() -> None:
     ap.add_argument("--cores", type=int, required=True)
     ap.add_argument("--fixture", default="")
     ap.add_argument("--ckpt", required=True)
-    ap.add_argument("--mode", choices=("full", "sig_lsh", "sig_lsh_gen"),
+    ap.add_argument("--mode", choices=("full", "sig_lsh", "sig_lsh_gen",
+                                       "meta_lsh_gen"),
                     default="full",
                     help="full = checkpointed pipeline; sig_lsh = the "
                          "compute core (signatures -> bands -> candidate "
@@ -37,6 +38,9 @@ def main() -> None:
                          "cores)")
     ap.add_argument("--n-base", type=int, default=128000)
     ap.add_argument("--size-scale", type=int, default=2)
+    ap.add_argument("--shuffle-mult", type=int, default=1,
+                    help="shuffle partitions = cores * mult (tail-balance "
+                         "knob for the CPU-bound scaling job)")
     args = ap.parse_args()
 
     from gsearch_spark.config import PipelineConfig
@@ -48,9 +52,92 @@ def main() -> None:
 
     shutil.rmtree(args.ckpt, ignore_errors=True)
     spark = get_spark(f"bench_c{args.cores}", cores=args.cores,
-                      shuffle_partitions=args.cores)
+                      shuffle_partitions=args.cores * args.shuffle_mult)
     spark.sparkContext.setLogLevel("ERROR")
     cfg = PipelineConfig(shuffle_partitions=args.cores)
+
+    if args.mode == "meta_lsh_gen":
+        # Metadata-tier dedup core: phash+caption MinHash signatures ->
+        # salted bands -> candidate pairs, NO pixel codec.  phash is an
+        # INPUT COLUMN of the target table (BASELINE input_hint), so this
+        # measures exactly the engine's distributed machinery (sketch
+        # UDF, band shuffle, salting, star policy) with an L2-resident
+        # working set — the regime where this host can physically scale
+        # (see BENCH/host_capacity.json: >L2 sets collapse to ~1.2x at
+        # 4x cores regardless of framework; <=L2 sets reach ~3.5x).
+        # Dup structure: every 10th row clones the previous row's
+        # metadata; the first 2% share ONE identity (skew bomb) so the
+        # hot-bucket salting + star policy are on the measured path.
+        import numpy as np
+        import pandas as pd
+        from pyspark import StorageLevel
+        from gsearch_spark.generator import _vocab
+        from gsearch_spark.hashing import hash_pair_u64, hash_u64
+        from gsearch_spark.minhash import minhash_batch
+        from gsearch_spark.operators.signatures import (SIGNATURES_SCHEMA,
+                                                        caption_hash_batch)
+        from gsearch_spark.oracle import combined_shingles
+
+        n = args.n_base
+
+        def gen_meta(batches):
+            vocab = _vocab(42)
+            nv = len(vocab)
+            for pdf in batches:
+                ords = pdf["id"].to_numpy()
+                m = len(ords)
+                # source ordinal: clones + skew bomb
+                src = ords.copy()
+                clone = (ords % 10) == 9
+                src[clone] = ords[clone] - 1
+                src[src < int(n * 0.02)] = 0
+                phash = hash_u64(src.astype(np.uint64),
+                                 seed=0xBEEF).view(np.int64)
+                widx = np.stack([
+                    (hash_pair_u64(src.astype(np.uint64),
+                                   np.full(m, k, dtype=np.uint64),
+                                   seed=7) % np.uint64(nv)).astype(np.int64)
+                    for k in range(10)], axis=1)
+                captions = [" ".join(vocab[j] for j in row) for row in widx]
+                h, r = combined_shingles(phash, captions, cfg)
+                mh = minhash_batch(h, r, m, cfg.sketch_size, algo=cfg.algo,
+                                   seed=cfg.seed).view(np.int64)
+                yield pd.DataFrame({
+                    "image_id": np.char.add("img_",
+                                            ords.astype(np.str_)),
+                    "minhash": list(mh),
+                    "simhash": hash_u64(phash.view(np.uint64),
+                                        seed=0x51A).view(np.int64),
+                    "phash": phash,
+                    "cap_hash": caption_hash_batch(captions),
+                    "part_id": np.full(m, -1, dtype=np.int32),
+                })
+
+        t0 = time.time()
+        sigs = (spark.range(0, n, 1, args.cores * 8)
+                .mapInPandas(gen_meta, schema=SIGNATURES_SCHEMA)
+                .persist(StorageLevel.MEMORY_AND_DISK))
+        n_sigs = sigs.count()
+        t_sig = time.time()
+        pairs = emit_bucket_pairs(build_bands(sigs, cfg))
+        n_pairs = pairs.count()
+        t_end = time.time()
+        total = t_end - t0
+        sigs.unpersist()
+        out = {
+            "cores": args.cores, "mode": "meta_lsh_gen",
+            "n_images": n_sigs, "n_pairs": n_pairs,
+            "total_sec": round(total, 3),
+            "sig_lsh_sec": round(total, 3),
+            "images_per_sec_sig_lsh": round(n / total, 1),
+            "images_per_sec_total": round(n / total, 1),
+            "stages_sec": {"gen_sign": round(t_sig - t0, 3),
+                           "band_pairs": round(t_end - t_sig, 3)},
+        }
+        spark.stop()
+        print(json.dumps(out))
+        sys.stdout.flush()
+        return
 
     if args.mode == "sig_lsh_gen":
         import numpy as np
@@ -100,19 +187,23 @@ def main() -> None:
         sigs = (spark.range(0, n, 1, args.cores * 8)
                 .mapInPandas(gen_and_sign, schema=SIGNATURES_SCHEMA)
                 .persist(StorageLevel.MEMORY_AND_DISK))
+        n_sigs = sigs.count()  # forces the Python stage; persist fills
+        t_sig = time.time()
         pairs = emit_bucket_pairs(build_bands(sigs, cfg))
         n_pairs = pairs.count()
-        total = time.time() - t0
+        t_end = time.time()
+        total = t_end - t0
         sigs.unpersist()
         out = {
             "cores": args.cores, "mode": "sig_lsh_gen",
-            "n_images": n, "n_pairs": n_pairs,
+            "n_images": n_sigs, "n_pairs": n_pairs,
             "size_scale": size_scale,
             "total_sec": round(total, 3),
             "sig_lsh_sec": round(total, 3),
             "images_per_sec_sig_lsh": round(n / total, 1),
             "images_per_sec_total": round(n / total, 1),
-            "stages_sec": {},
+            "stages_sec": {"gen_sign": round(t_sig - t0, 3),
+                           "band_pairs": round(t_end - t_sig, 3)},
         }
         spark.stop()
         print(json.dumps(out))
@@ -131,6 +222,8 @@ def main() -> None:
         # bench run => no cross-run cache-reuse hazard here.
         sigs = compute_signatures(images, cfg).persist(
             StorageLevel.MEMORY_AND_DISK)
+        sigs.count()  # materialize the persist BEFORE the banding passes
+        # consume it, or the signature UDF re-runs concurrently per branch
         pairs = emit_bucket_pairs(build_bands(sigs, cfg))
         n_pairs = pairs.count()
         total = time.time() - t0

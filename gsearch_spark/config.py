@@ -47,9 +47,11 @@ class PipelineConfig:
     rows_per_band: int = 8
     band_salts: int = 4              # max sub-buckets for hot bands
     hot_band_threshold: int = 64     # band sizes above this get salted
+    hot_stats_sample_mod: int = 4    # hot detection over a 1/k id sample
     simhash_bands: int = 4           # simhash chunks; keys are chunk PAIRS
     phash_bands: int = 4             # direct phash bit-chunk bands
     prefilter_max_phash_hamming: int = 20  # metadata prefilter bound
+    prefilter_max_phash_hamming_phash_src: int = 8  # phash-band-only pairs
     # --- verification (BASELINE.json input_hint invariant)
     psnr_min_db: float = 40.0
     caption_equality: str = "normalized"

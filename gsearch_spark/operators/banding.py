@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 BANDS_SCHEMA = "band_id int, band_hash bigint, salt int, image_id string"
+SIMHASH_BAND_ID_OFFSET = 1000
+PHASH_BAND_ID_OFFSET = 2000
 CAPTION_BAND_ID = 3000
 
 
@@ -120,7 +122,9 @@ def explode_phash_bands(signatures: DataFrame, phash_bands: int = 4,
 
 def salt_hot_buckets(bands_df: DataFrame, hot_threshold: int,
                      max_salts: int,
-                     max_hot_buckets: int = 100_000) -> DataFrame:
+                     max_hot_buckets: int = 100_000,
+                     stats_source: "DataFrame | None" = None,
+                     sample_mod: int = 1) -> DataFrame:
     """Assign per-row salts; only buckets above hot_threshold are split.
 
     The hot-bucket list is tiny by construction (duplicate blow-ups, not
@@ -138,13 +142,26 @@ def salt_hot_buckets(bands_df: DataFrame, hot_threshold: int,
     Buckets past the cap stay unsalted — still CORRECT (candidate
     emission's star policy caps their pairs at 2m-3) just less balanced;
     the truncation is logged, never silent.
+
+    SAMPLED stats (``stats_source``/``sample_mod``): hot-bucket detection
+    does not need exact counts — a bucket at k x threshold sampled 1/k
+    still lands far above threshold/k, and the failure mode of a miss is
+    merely an unsalted bucket whose pair count the star policy already
+    bounds.  Passing a deterministic 1/sample_mod id-hash sample as
+    ``stats_source`` cuts the stats shuffle (the measured scaling
+    residual's largest share) by sample_mod while keeping salting exact
+    on everything clearly hot.  Counts scale back up by sample_mod; the
+    sampled threshold is hot_threshold/sample_mod.
     """
     import logging
 
+    src = stats_source if stats_source is not None else bands_df
+    eff_threshold = max(1, hot_threshold // sample_mod)
     spark = bands_df.sparkSession
-    hot_rows = (bands_df.groupBy("band_id", "band_hash")
-                .agg(F.count(F.lit(1)).alias("bucket_n"))
-                .filter(F.col("bucket_n") > hot_threshold)
+    hot_rows = (src.groupBy("band_id", "band_hash")
+                .agg(F.count(F.lit(1)).alias("sampled_n"))
+                .filter(F.col("sampled_n") > eff_threshold)
+                .withColumn("bucket_n", F.col("sampled_n") * sample_mod)
                 .withColumn(
                     "n_salt",
                     F.least(F.lit(max_salts),
@@ -173,38 +190,80 @@ def salt_hot_buckets(bands_df: DataFrame, hot_threshold: int,
             .select("band_id", "band_hash", "salt", "image_id"))
 
 
+def _chunk_pair_hashes(col: str, n_chunks: int, offset: int) -> "list":
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    chunk = [F.shiftright(F.col(col), b * width).bitwiseAND(F.lit(mask))
+             for b in range(n_chunks)]
+    combos = []
+    for i in range(n_chunks):
+        for j in range(i + 1, n_chunks):
+            combos.append(F.xxhash64(F.lit(offset + len(combos)),
+                                     chunk[i], chunk[j]))
+    return combos
+
+
 def explode_all_bands(signatures: DataFrame, cfg) -> DataFrame:
     """signatures -> UNSALTED (band_id, band_hash, image_id) across every
-    band family.  Shared by the build path (which salts the result) and
-    the probe path of :func:`gsearch_spark.operators.request.request`
-    (which joins it against a stored salted table on (band_id, band_hash)
-    — salting only matters for the self-join's skew, not for probing)."""
+    band family, via ONE fused explode.
+
+    Shared by the build path (which salts the result) and the probe path
+    of :func:`gsearch_spark.operators.request.request` (which joins it
+    against a stored salted table on (band_id, band_hash) — salting only
+    matters for the self-join's skew, not for probing).
+
+    Band families (row values identical to the per-family functions):
+      * minhash bands (LSH quality knob),
+      * simhash chunk-PAIR bands (pixel-feature Hamming<=2 net),
+      * caption-identity band (skipped for empty captions): every
+        verifiable near-dup class except caption-substring shares its
+        normalized caption — junk is just same-caption hard negatives,
+        killed by the phash prefilter before any decode,
+      * phash chunk-PAIR bands over ALL rows: the only net with
+        GUARANTEED Hamming<=2 coverage of the re-encode regime (a lossy
+        re-encode at PSNR 40-43 dB flips 1-2 phash bits but 40-60
+        pixel-simhash bits, and a simultaneously TRUNCATED caption kills
+        the caption band and halves minhash J — the adversarial case in
+        tests/test_suffix_array.py).  Junk cost is bounded by 32-bit
+        pair keys, salting, the star policy, and the src-aware prefilter.
+
+    ONE explode instead of a 4-way union: the union form scans the
+    signatures input once PER FAMILY per pass (8 scans across the stats
+    and salt passes — measured as 4x-partition-count task storms that
+    anti-scale in the shared-JVM scheduler and re-run the signature UDF
+    when the input is an unmaterialized persist).  The fused form scans
+    once per pass and keeps one task per input partition.
+    """
     from gsearch_spark.operators.signatures import EMPTY_CAPTION_HASH
 
-    mh = explode_minhash_bands(signatures, cfg.bands, cfg.rows_per_band)
-    sh = explode_simhash_bands(signatures, cfg.simhash_bands)
-    # caption-identity band: every verifiable near-dup class except
-    # caption-substring (suffix pass) and empty-caption rows shares its
-    # normalized caption, so ONE exact band covers re-encodes and pixel
-    # perturbations deterministically — junk is just same-caption
-    # non-dups (hard negatives), killed by the phash prefilter before
-    # any decode.  Massively cheaper than banding structured phash bits.
-    cap = (signatures
-           .filter(F.col("cap_hash") != F.lit(EMPTY_CAPTION_HASH))
-           .select(F.lit(CAPTION_BAND_ID).alias("band_id"),
-                   F.col("cap_hash").alias("band_hash"), "image_id"))
-    # phash chunk-pair bands for ALL rows: the only net with GUARANTEED
-    # Hamming<=2 coverage of the re-encode regime.  A lossy re-encode at
-    # PSNR 40-43 dB flips 1-2 phash bits but can flip 40-60 pixel-feature
-    # simhash bits (measured: the simhash net is fragile exactly where
-    # re-encodes live), and a simultaneously TRUNCATED caption drops
-    # minhash J to ~0.5 and kills the caption-identity band — so without
-    # these bands a (re-encoded pixels, substring caption) dup can evade
-    # every net (caught by tests/test_suffix_array.py adversarial case).
-    # Junk cost is bounded: 32-bit pair keys (not raw 16-bit chunks),
-    # salting, star policy, and the phash prefilter before any decode.
-    ph = explode_phash_bands(signatures, cfg.phash_bands)
-    return mh.unionByName(sh).unionByName(cap).unionByName(ph)
+    entries = []
+    for b in range(cfg.bands):
+        slots = [F.element_at("minhash", b * cfg.rows_per_band + j + 1)
+                 for j in range(cfg.rows_per_band)]
+        entries.append(F.struct(
+            F.lit(b).alias("band_id"),
+            F.xxhash64(F.lit(b), *slots).alias("band_hash")))
+    for i, h in enumerate(_chunk_pair_hashes("simhash", cfg.simhash_bands,
+                                             SIMHASH_BAND_ID_OFFSET)):
+        entries.append(F.struct(
+            F.lit(SIMHASH_BAND_ID_OFFSET + i).alias("band_id"),
+            h.alias("band_hash")))
+    for i, h in enumerate(_chunk_pair_hashes("phash", cfg.phash_bands,
+                                             PHASH_BAND_ID_OFFSET)):
+        entries.append(F.struct(
+            F.lit(PHASH_BAND_ID_OFFSET + i).alias("band_id"),
+            h.alias("band_hash")))
+    # caption band last; emitted as NULL hash for empty captions and
+    # filtered out post-explode (keeps the array shape static)
+    entries.append(F.struct(
+        F.lit(CAPTION_BAND_ID).alias("band_id"),
+        F.when(F.col("cap_hash") != F.lit(EMPTY_CAPTION_HASH),
+               F.col("cap_hash")).alias("band_hash")))
+    return (signatures
+            .select("image_id", F.explode(F.array(*entries)).alias("e"))
+            .filter(F.col("e.band_hash").isNotNull())
+            .select(F.col("e.band_id").alias("band_id"),
+                    F.col("e.band_hash").alias("band_hash"), "image_id"))
 
 
 def build_bands(signatures: DataFrame, cfg) -> DataFrame:
@@ -214,7 +273,21 @@ def build_bands(signatures: DataFrame, cfg) -> DataFrame:
     join); the stats side is collected eagerly inside salt_hot_buckets
     (it is broadcast-sized by construction), so no persist is needed and
     no cached plan can leak into later runs over the same checkpoint.
+
+    Hot-bucket stats run over a deterministic 1/hot_stats_sample_mod
+    id-hash sample of the SIGNATURES (exploded separately — a narrow op
+    over sample_mod-times fewer rows), so the stats shuffle shrinks by
+    sample_mod.  Sampling by image_id keeps the result independent of
+    input partitioning (determinism contract).
     """
-    return salt_hot_buckets(explode_all_bands(signatures, cfg),
+    k = cfg.hot_stats_sample_mod
+    exploded = explode_all_bands(signatures, cfg)
+    stats_src = None
+    if k > 1:
+        sample = signatures.filter(
+            F.pmod(F.xxhash64("image_id"), F.lit(k)) == 0)
+        stats_src = explode_all_bands(sample, cfg)
+    return salt_hot_buckets(exploded,
                             cfg.hot_band_threshold, cfg.band_salts,
-                            max_hot_buckets=cfg.max_hot_buckets)
+                            max_hot_buckets=cfg.max_hot_buckets,
+                            stats_source=stats_src, sample_mod=k)

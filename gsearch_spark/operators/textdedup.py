@@ -359,6 +359,57 @@ SQL_SUBSTRING_PAIRS = f"""
 """
 
 
+FRAC_SCALE = 8  # FracMinHash: keep shingles with h % SCALE == 0
+
+
+def q_fracminhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 FracMinHash containment (reference ``src/dna/dnasketch.rs:541-574``
+    family, mash-like semantics): sample each doc's shingle set by
+    ``hash % {FRAC_SCALE} == 0`` (a scaled, unbiased fraction of the set)
+    and report, for every planted near-dup pair, the containment of the
+    COPY's sampled set in the ORIGINAL's — |A ∩ B| / |A| over samples.
+    The near copies drop trailing words, so containment stays high while
+    plain Jaccard drops — exactly the asymmetric-size case FracMinHash
+    exists for."""
+    _register(spark, sf_dir)
+    return spark.sql(_spark_shingles(_spark_docs_with_dups()) + f"""
+      , sampled AS (
+        SELECT doc_id, h0 FROM hashed WHERE h0 % {FRAC_SCALE} = 0
+      ),
+      sizes AS (
+        SELECT doc_id, count(*) AS n FROM sampled GROUP BY doc_id
+      ),
+      inter AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+        FROM sampled x JOIN sampled y
+          ON x.h0 = y.h0 AND x.doc_id = y.doc_id + {2 * DUP_OFFSET}
+        GROUP BY x.doc_id, y.doc_id
+      )
+      SELECT a, b,
+             round(cast(i AS double) / sa.n, 6) AS containment
+      FROM inter JOIN sizes sa ON sa.doc_id = a
+    """)
+
+
+SQL_FRACMINHASH_CONTAINMENT = _duck_shingles(_duck_docs_with_dups()) + f"""
+  , sampled AS (
+    SELECT doc_id, h0 FROM hashed WHERE h0 % {FRAC_SCALE} = 0
+  ),
+  sizes AS (
+    SELECT doc_id, count(*) AS n FROM sampled GROUP BY doc_id
+  ),
+  inter AS (
+    SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+    FROM sampled x JOIN sampled y
+      ON x.h0 = y.h0 AND x.doc_id = y.doc_id + {2 * DUP_OFFSET}
+    GROUP BY x.doc_id, y.doc_id
+  )
+  SELECT a, b,
+         round((i::DOUBLE) / sa.n, 6) AS containment
+  FROM inter JOIN sizes sa ON sa.doc_id = a
+"""
+
+
 def q_dedup_edge_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 set ops: union of exact-dup edges and LSH candidate edges,
     deduplicated — the engine's multi-generator edge merge."""

@@ -41,7 +41,8 @@ VERIFIED_SCHEMA = ("a string, b string, src string, psnr double, "
 
 
 def prefilter_pairs(pairs: DataFrame, images: DataFrame,
-                    max_phash_hamming: int = 20) -> DataFrame:
+                    max_phash_hamming: int = 20,
+                    max_phash_hamming_phash_src: int = 8) -> DataFrame:
     """Phase-1 verify: JVM metadata prefilter, no bytes, no Python.
 
     A candidate pair can only satisfy the PSNR >= 40 dB invariant when
@@ -53,16 +54,27 @@ def prefilter_pairs(pairs: DataFrame, images: DataFrame,
     pixel decode only ever see plausible pairs.  (Reference analog: the
     sketch-distance threshold applied before answers are dumped,
     gsearch src/dna/dnarequest.rs:83.)
+
+    Pairs whose ONLY generator is the phash chunk-pair band (src =
+    'phash') get a TIGHTER bound: that band exists purely for the
+    re-encode regime (true positives sit at Hamming <= ~4), while its
+    false positives are structured DCT-sign collisions that agree on 32
+    banded bits yet differ widely on the rest (measured: +1.6
+    pairs/image of such junk when phash bands cover all rows).  The
+    loose bound stays for caption/minhash/simhash sources, whose true
+    pairs (pixel perturbations) can move phash further.
     """
     meta = images.select("image_id", "phash")
     pa_ = meta.select(F.col("image_id").alias("a"),
                       F.col("phash").alias("phash_a"))
     pb = meta.select(F.col("image_id").alias("b"),
                      F.col("phash").alias("phash_b"))
+    bound = F.when(F.col("src") == "phash",
+                   F.lit(max_phash_hamming_phash_src)) \
+             .otherwise(F.lit(max_phash_hamming))
     return (pairs.join(pa_, "a").join(pb, "b")
             .filter(F.bit_count(
-                F.col("phash_a").bitwiseXOR(F.col("phash_b")))
-                <= max_phash_hamming)
+                F.col("phash_a").bitwiseXOR(F.col("phash_b"))) <= bound)
             .select("a", "b", "src"))
 
 
@@ -160,7 +172,8 @@ def verified_edges(pairs: DataFrame, images: DataFrame,
     """Full verify stage: metadata prefilter (phase 1, JVM) -> payload
     attach -> pixel/caption verify (phase 2, Arrow); keep dup edges."""
     plausible = prefilter_pairs(pairs, images,
-                                cfg.prefilter_max_phash_hamming)
+                                cfg.prefilter_max_phash_hamming,
+                                cfg.prefilter_max_phash_hamming_phash_src)
     attached = attach_payloads(plausible, images,
                                strategy=cfg.verify_attach,
                                broadcast_max_ids=cfg.verify_broadcast_max_ids)

@@ -23,8 +23,23 @@ def get_spark(app: str = "gsearch_spark", cores: int | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # keep Arrow batches modest: rows carry multi-KB image payloads,
-        # and 2048-row batches of 100 KB rows are ~200 MB per transfer
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        # and 2048-row batches of 100 KB rows are ~200 MB per transfer;
+        # smaller batches also keep per-batch numpy working sets closer to
+        # cache-resident (this host's DRAM bandwidth saturates at ~8 busy
+        # cores — measured 3.7x per-core slowdown at 32 for streaming ops)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "512"))
+        # split size governs scan parallelism: at 128 MB a few-GB input
+        # yields fewer splits than cores; size so every core gets >=2 waves
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES",
+                               str(128 * 1024 * 1024)))
+        # tmpfs-backed shuffle dirs (scaling bench) don't benefit from
+        # compression: it spends scaling-neutral CPU to save RAM-speed IO
+        .config("spark.shuffle.compress",
+                os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "true"))
+        .config("spark.shuffle.spill.compress",
+                os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "true"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -111,6 +111,22 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming EXACT dedup — the ingest tier of the dedup mandate.
+
+    At-least-once sources (Kafka retries, file-drop re-deliveries)
+    deliver duplicate rows; ``dropDuplicatesWithinWatermark`` emits each
+    key once and — unlike plain dropDuplicates — EVICTS state for keys
+    older than the event-time watermark, so state is bounded by the
+    late-data horizon instead of growing with the stream (the 100 TB
+    concern).  Keyed on event_id here; content keys (md5 of payload)
+    slot in identically for the documents/images tables.
+    """
+    return (events
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["event_id"]))
+
+
 def run_available_now(stream_df: DataFrame, name: str,
                       checkpoint: str, output_mode: str) -> DataFrame:
     """Drain the source with trigger(availableNow) into a memory sink and

@@ -69,3 +69,34 @@ def test_stateful_sessionize_matches_batch(spark):
              .groupBy("user_id").agg(F.sum("brk").alias("n_sessions")))
     want = {r["user_id"]: r["n_sessions"] for r in batch.collect()}
     assert got == want
+
+
+def test_dedup_stream_exactly_once_vs_batch(spark):
+    """At-least-once delivery (the same file staged twice) -> streaming
+    exact dedup must emit each event_id exactly once == batch distinct."""
+    import os
+    from gsearch_spark.streaming import EVENTS_SCHEMA, dedup_stream
+
+    stage = f"/tmp/gsearch_stream_dup_{uuid.uuid4().hex[:8]}"
+    os.makedirs(stage, exist_ok=True)
+    for name in ("a.parquet", "b.parquet"):  # duplicate delivery
+        dst = os.path.join(stage, name)
+        if not os.path.exists(dst):
+            try:
+                os.link(f"{SF_DIR}/events.parquet", dst)
+            except OSError:
+                shutil.copyfile(f"{SF_DIR}/events.parquet", dst)
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(stage))
+    out = run_available_now(dedup_stream(stream),
+                            f"dedup_{uuid.uuid4().hex[:6]}", _ckpt(),
+                            output_mode="append")
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_batch = batch.select("event_id").distinct().count()
+    ids = [r["event_id"] for r in out.select("event_id").collect()]
+    assert len(ids) == len(set(ids)), "stream emitted a duplicate"
+    # append mode may hold back events newer than the watermark; emitted
+    # set must be duplicate-free, within truth, and cover nearly all
+    assert set(ids) <= {r["event_id"] for r in
+                        batch.select("event_id").collect()}
+    assert len(ids) >= n_batch * 0.9
