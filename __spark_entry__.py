@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_pairs_docs": textdedup.q_substring_pairs,
         "dedup_edge_union": textdedup.q_dedup_edge_union,
         "fracminhash_containment": textdedup.q_fracminhash_containment,
+        "kmv_distinct_shingles": textdedup.q_kmv_distinct,
         # text analysis
         "token_count": text.q_token_count,
         "quality_score": text.q_quality_score,
@@ -216,6 +217,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_pairs_docs": textdedup.SQL_SUBSTRING_PAIRS,
         "dedup_edge_union": textdedup.SQL_DEDUP_EDGE_UNION,
         "fracminhash_containment": textdedup.SQL_FRACMINHASH_CONTAINMENT,
+        "kmv_distinct_shingles": textdedup.SQL_KMV_DISTINCT,
         "token_count": text.SQL_TOKEN_COUNT,
         "quality_score": text.SQL_QUALITY_SCORE,
         "lang_guess": text.SQL_LANG_GUESS,

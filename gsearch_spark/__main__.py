@@ -1,0 +1,144 @@
+"""CLI — the reference's subcommand surface on Spark.
+
+Mirrors gsearch's clap entry points (``src/bin/gsearch.rs:565-587``) so a
+reference user can drive the engine the same way they drive gsearch:
+
+  python -m gsearch_spark tohnsw  -d images.parquet -b BUILD_DIR [-s 128]
+                                  [--algo optdens|revoptdens|prob] [...]
+  python -m gsearch_spark add     -b BUILD_DIR -n new_images.parquet
+  python -m gsearch_spark request -b BUILD_DIR -r queries.parquet -n 10
+
+``tohnsw`` builds the checkpointed index (exact-collapse -> signatures ->
+salted bands -> pairs -> verify -> CC) and records parameters.json plus a
+sources.json manifest of input paths.  ``add`` re-sketches ONLY the new
+rows under the ORIGINAL config (gsearch ``src/bin/gsearch.rs:714-742``)
+— old payloads are re-read from the manifest, the one departure from the
+reference (its index stores payload dictionaries; ours stores columnar
+checkpoints and re-reads inputs lazily).  ``request`` probes the stored
+index and writes per-query top-k answers thresholded on sketch distance
+(``src/dna/dnarequest.rs:83``) to ``<build>/answers`` (parquet) and a
+``gsearch.neighbors.txt``-style TSV.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _cfg_from_args(args) -> "PipelineConfig":
+    from gsearch_spark.config import PipelineConfig
+    return PipelineConfig(sketch_size=args.sketch_size, algo=args.algo,
+                          bands=args.bands,
+                          rows_per_band=args.sketch_size // args.bands,
+                          seed=args.seed)
+
+
+def _spark(cores: int):
+    from gsearch_spark.session import get_spark
+    return get_spark("gsearch_spark_cli", cores=cores)
+
+
+def _manifest_path(build_dir: str) -> str:
+    return os.path.join(build_dir, "sources.json")
+
+
+def cmd_tohnsw(args) -> int:
+    from gsearch_spark.fs import CheckpointFS
+    from gsearch_spark.operators.pipeline import NearDupPipeline
+    spark = _spark(args.cores)
+    cfg = _cfg_from_args(args)
+    images = spark.read.parquet(args.datadir)
+    clusters = NearDupPipeline(spark, cfg, args.build_dir).run(
+        images, resume=not args.no_resume)
+    fs = CheckpointFS(spark, args.build_dir)
+    fs.write_text(_manifest_path(args.build_dir),
+                  json.dumps({"sources": [args.datadir]}))
+    n = clusters.count()
+    print(f"tohnsw: built {args.build_dir}: {n} cluster assignments")
+    return 0
+
+
+def cmd_add(args) -> int:
+    from gsearch_spark.config import PipelineConfig
+    from gsearch_spark.fs import CheckpointFS
+    from gsearch_spark.operators.pipeline import incremental_add
+    spark = _spark(args.cores)
+    fs = CheckpointFS(spark, args.build_dir)
+    cfg = PipelineConfig.reload_via(fs, args.build_dir)  # original config
+    manifest = json.loads(fs.read_text(_manifest_path(args.build_dir)))
+    new_images = spark.read.parquet(args.newdir)
+    all_images = spark.read.parquet(*manifest["sources"], args.newdir)
+    clusters = incremental_add(spark, cfg, args.build_dir, new_images,
+                               all_images)
+    manifest["sources"].append(args.newdir)
+    fs.write_text(_manifest_path(args.build_dir), json.dumps(manifest))
+    print(f"add: {args.newdir} added; {clusters.count()} assignments")
+    return 0
+
+
+def cmd_request(args) -> int:
+    from pyspark.sql import functions as F
+    from gsearch_spark.operators.request import request
+    spark = _spark(args.cores)
+    queries = spark.read.parquet(args.reqdir)
+    answers = request(spark, args.build_dir, queries, k=args.nb_answers,
+                      max_distance=args.max_distance)
+    out = args.out or os.path.join(args.build_dir, "answers")
+    answers.write.mode("overwrite").parquet(out)
+    answers = spark.read.parquet(out)
+    # gsearch.neighbors.txt-style TSV (answer sink, src/answer.rs:35-76)
+    tsv = os.path.join(os.path.dirname(out) or ".", "gsearch.neighbors.txt")
+    rows = (answers.orderBy("query_id", "rank")
+            .select("query_id", "target_id",
+                    F.format_number("distance", 6).alias("distance"),
+                    "rank").collect())
+    with open(tsv, "w") as f:
+        for r in rows:
+            f.write(f"{r['query_id']}\t{r['target_id']}"
+                    f"\t{r['distance']}\t{r['rank']}\n")
+    print(f"request: {len(rows)} answers -> {out} (+ {tsv})")
+    return 0
+
+
+def main(argv: "list[str] | None" = None) -> int:
+    ap = argparse.ArgumentParser(prog="gsearch_spark")
+    ap.add_argument("--cores", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("tohnsw", help="build the near-dup index")
+    p.add_argument("-d", "--datadir", required=True,
+                   help="images parquet path")
+    p.add_argument("-b", "--build-dir", required=True)
+    p.add_argument("-s", "--sketch-size", type=int, default=128)
+    p.add_argument("--algo", default="optdens",
+                   choices=("optdens", "revoptdens", "prob"))
+    p.add_argument("--bands", type=int, default=16)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--no-resume", action="store_true")
+    p.set_defaults(fn=cmd_tohnsw)
+
+    p = sub.add_parser("add", help="append new images to an existing build")
+    p.add_argument("-b", "--build-dir", required=True)
+    p.add_argument("-n", "--newdir", required=True,
+                   help="new images parquet path")
+    p.set_defaults(fn=cmd_add)
+
+    p = sub.add_parser("request", help="top-k search against a build")
+    p.add_argument("-b", "--build-dir", required=True)
+    p.add_argument("-r", "--reqdir", required=True,
+                   help="query images parquet path")
+    p.add_argument("-n", "--nb-answers", type=int, default=10)
+    p.add_argument("--max-distance", type=float, default=0.99)
+    p.add_argument("-o", "--out", default=None)
+    p.set_defaults(fn=cmd_request)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -410,6 +410,54 @@ SQL_FRACMINHASH_CONTAINMENT = _duck_shingles(_duck_docs_with_dups()) + f"""
 """
 
 
+KMV_K = 32  # k-minimum-values sketch size
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 analog (HLL/SetSketch family, reference
+    ``src/dna/dnasketch.rs:541-574``): per-doc distinct-shingle
+    cardinality from a bottom-k (KMV) sketch — est = (k-1) * M / kth_min
+    where M is the hash range (Bar-Yossef et al. 2002), with the exact
+    count when fewer than k distinct hashes exist.  KMV over the k
+    smallest hashes is the bottom-k cousin of HLL chosen here because it
+    is integer-exact in ANSI SQL (HLL needs leading-zero counts whose
+    float log2 differs across engines)."""
+    _register(spark, sf_dir)
+    return spark.sql(_spark_shingles(_spark_docs_with_dups()) + f"""
+      , ranked AS (
+        SELECT doc_id, h0,
+               row_number() OVER (PARTITION BY doc_id ORDER BY h0) AS rk,
+               count(*) OVER (PARTITION BY doc_id) AS n_distinct
+        FROM hashed
+      )
+      SELECT doc_id, n_distinct AS exact_count,
+             CASE WHEN n_distinct < {KMV_K} THEN cast(n_distinct AS double)
+                  ELSE round(cast({KMV_K - 1} AS double) * {PRIME}
+                             / cast(h0 AS double), 4)
+             END AS est_count
+      FROM ranked
+      WHERE rk = least(cast(n_distinct AS int), {KMV_K})
+        AND (rk = {KMV_K} OR n_distinct < {KMV_K})
+    """)
+
+
+SQL_KMV_DISTINCT = _duck_shingles(_duck_docs_with_dups()) + f"""
+  , ranked AS (
+    SELECT doc_id, h0,
+           row_number() OVER (PARTITION BY doc_id ORDER BY h0) AS rk,
+           count(*) OVER (PARTITION BY doc_id) AS n_distinct
+    FROM hashed
+  )
+  SELECT doc_id, n_distinct AS exact_count,
+         CASE WHEN n_distinct < {KMV_K} THEN n_distinct::DOUBLE
+              ELSE round({KMV_K - 1}::DOUBLE * {PRIME} / h0::DOUBLE, 4)
+         END AS est_count
+  FROM ranked
+  WHERE rk = least(n_distinct::INT, {KMV_K})
+    AND (rk = {KMV_K} OR n_distinct < {KMV_K})
+"""
+
+
 def q_dedup_edge_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 set ops: union of exact-dup edges and LSH candidate edges,
     deduplicated — the engine's multi-generator edge merge."""
