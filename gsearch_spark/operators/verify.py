@@ -105,7 +105,11 @@ def attach_payloads(pairs: DataFrame, images: DataFrame,
         semi = F.broadcast(cand_ids)
     else:
         # shuffle-hash, not sort-merge: the build side (ids) is tiny per
-        # partition and the probe side (payloads) must not be sorted
+        # partition and the probe side (payloads) must not be sorted.
+        # (A Bloom-filter semi variant was considered; bloom_filter_agg /
+        # might_contain are internal expressions, not public SQL, in this
+        # Spark build — Spark's own runtime bloom join already kicks in
+        # for the shuffle path when beneficial.)
         semi = cand_ids.hint("shuffle_hash")
     slim = images.join(semi, "image_id", "left_semi") \
                  .select("image_id", "bytes", "caption")

@@ -125,3 +125,23 @@ def test_partitioning_invariance(spark, small_fixture_dir, clusters_df):
     clusters2 = NearDupPipeline(spark, CFG, ckpt2).run(images, resume=False)
     got = {r["image_id"]: r["cluster_id"] for r in clusters2.collect()}
     assert got == base
+
+
+def test_attach_strategies_identical(spark, small_fixture_dir):
+    """broadcast and shuffle-hash semi joins in attach_payloads are
+    interchangeable: identical attached rows."""
+    from gsearch_spark.operators.verify import attach_payloads
+    images = spark.read.parquet(f"{small_fixture_dir}/images.parquet")
+    pairs = spark.createDataFrame(
+        [("img_00000001", "img_00000002", "t"),
+         ("img_00000003", "img_00000010", "t"),
+         ("img_00000005", "img_00000011", "t")],
+        schema="a string, b string, src string")
+    outs = {}
+    for strat in ("broadcast", "shuffle"):
+        df = attach_payloads(pairs, images, strategy=strat)
+        outs[strat] = sorted(
+            (r["a"], r["b"], bytes(r["bytes_a"])[:16], r["caption_b"])
+            for r in df.collect())
+    assert outs["broadcast"] == outs["shuffle"]
+    assert len(outs["shuffle"]) == 3
