@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_edge_union": textdedup.q_dedup_edge_union,
         "fracminhash_containment": textdedup.q_fracminhash_containment,
         "kmv_distinct_shingles": textdedup.q_kmv_distinct,
+        "kmv_union_cardinality": textdedup.q_kmv_union_cardinality,
         # text analysis
         "token_count": text.q_token_count,
         "quality_score": text.q_quality_score,
@@ -218,6 +219,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_edge_union": textdedup.SQL_DEDUP_EDGE_UNION,
         "fracminhash_containment": textdedup.SQL_FRACMINHASH_CONTAINMENT,
         "kmv_distinct_shingles": textdedup.SQL_KMV_DISTINCT,
+        "kmv_union_cardinality": textdedup.SQL_KMV_UNION_CARDINALITY,
         "token_count": text.SQL_TOKEN_COUNT,
         "quality_score": text.SQL_QUALITY_SCORE,
         "lang_guess": text.SQL_LANG_GUESS,

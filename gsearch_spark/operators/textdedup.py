@@ -458,6 +458,63 @@ SQL_KMV_DISTINCT = _duck_shingles(_duck_docs_with_dups()) + f"""
 """
 
 
+def q_kmv_union_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 analog (sketch union-reduce, reference HyperMinHash union):
+    bottom-k sketches MERGE by taking the k smallest of the union — the
+    associative/commutative reduce that lets group cardinalities be
+    estimated from per-member sketches.  Here: distinct-shingle
+    cardinality of each planted dup GROUP (original ∪ exact copy ∪ near
+    copy), reduced over the members' hash streams."""
+    _register(spark, sf_dir)
+    return spark.sql(_spark_shingles(_spark_docs_with_dups()) + f"""
+      , grouped AS (
+        SELECT doc_id % {DUP_OFFSET} AS group_id, h0
+        FROM hashed WHERE doc_id % {DUP_OFFSET} < {N_DUP_DOCS}
+      ),
+      merged AS (  -- union-reduce: distinct hashes across group members
+        SELECT DISTINCT group_id, h0 FROM grouped
+      ),
+      ranked AS (
+        SELECT group_id, h0,
+               row_number() OVER (PARTITION BY group_id ORDER BY h0) AS rk,
+               count(*) OVER (PARTITION BY group_id) AS n_distinct
+        FROM merged
+      )
+      SELECT group_id, n_distinct AS exact_count,
+             CASE WHEN n_distinct < {KMV_K} THEN cast(n_distinct AS double)
+                  ELSE round(cast({KMV_K - 1} AS double) * {PRIME}
+                             / cast(h0 AS double), 4)
+             END AS est_count
+      FROM ranked
+      WHERE rk = least(cast(n_distinct AS int), {KMV_K})
+        AND (rk = {KMV_K} OR n_distinct < {KMV_K})
+    """)
+
+
+SQL_KMV_UNION_CARDINALITY = _duck_shingles(_duck_docs_with_dups()) + f"""
+  , grouped AS (
+    SELECT doc_id % {DUP_OFFSET} AS group_id, h0
+    FROM hashed WHERE doc_id % {DUP_OFFSET} < {N_DUP_DOCS}
+  ),
+  merged AS (
+    SELECT DISTINCT group_id, h0 FROM grouped
+  ),
+  ranked AS (
+    SELECT group_id, h0,
+           row_number() OVER (PARTITION BY group_id ORDER BY h0) AS rk,
+           count(*) OVER (PARTITION BY group_id) AS n_distinct
+    FROM merged
+  )
+  SELECT group_id, n_distinct AS exact_count,
+         CASE WHEN n_distinct < {KMV_K} THEN n_distinct::DOUBLE
+              ELSE round({KMV_K - 1}::DOUBLE * {PRIME} / h0::DOUBLE, 4)
+         END AS est_count
+  FROM ranked
+  WHERE rk = least(n_distinct::INT, {KMV_K})
+    AND (rk = {KMV_K} OR n_distinct < {KMV_K})
+"""
+
+
 def q_dedup_edge_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 set ops: union of exact-dup edges and LSH candidate edges,
     deduplicated — the engine's multi-generator edge merge."""
