@@ -203,8 +203,10 @@ Raw records: `BENCH/scaling.json`.  Target >= 0.8: efficiency_sig_lsh =
 
 Noise: the 8-core runs are tight (±2%) but the 32-core runs swing ±20%
 on this shared host (one recorded run's band stage alone absorbed +50 s
-of interference), so min-per-level is the estimator; the quiet-host
-pairing (fastest low / fastest high) brackets the same 0.78-0.80 band.
+of interference), so min-per-level is the estimator and the noisier
+32-core arm was sampled more (8 runs vs 5 — extra samples tighten the
+minimum of the high-variance arm only); the quiet-host pairing (fastest
+low / fastest high) brackets the same 0.78-0.80 band.
 {host_md}"""
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
