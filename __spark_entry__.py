@@ -135,6 +135,15 @@ def _q_images_lsh_pairs_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_images_lsh_pairs(spark, path)
 
 
+def _q_images_request_ani(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reformat-analog answer surface (query, distance, neighbor, ANI
+    models 1+2 — gsearch src/bin/reformat.rs:69-86) over the SQL twin of
+    the signature/banding half; DuckDB-oracled."""
+    from gsearch_spark.operators.imagedup_sql import q_images_request_ani
+    path = os.path.join(_images_fixture(sf_dir), "images.parquet")
+    return q_images_request_ani(spark, path)
+
+
 def _q_images_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     ckpt = _run_image_pipeline(spark, sf_dir)
@@ -163,6 +172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # same fixture parquet the pipeline reads)
         "images_sig_minhash": _q_images_sig_minhash,
         "images_lsh_pairs_sql": _q_images_lsh_pairs_sql,
+        "images_request_ani": _q_images_request_ani,
         # text dedup tier (DuckDB-oracled, md5-derived hashing)
         "exact_dedup_docs": textdedup.q_exact_dedup,
         "minhash_signatures_docs": textdedup.q_minhash_signatures,
@@ -200,6 +210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from gsearch_spark.operators.imagedup_sql import (sql_images_lsh_pairs,
+                                                      sql_images_request_ani,
                                                       sql_images_sig_minhash)
     # The driver compares at sf0.01; the DuckDB side reads the fixture
     # parquet directly, so make sure it exists no matter which of
@@ -209,6 +220,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "images_sig_minhash": sql_images_sig_minhash(fixture_path),
         "images_lsh_pairs_sql": sql_images_lsh_pairs(fixture_path),
+        "images_request_ani": sql_images_request_ani(fixture_path),
         "exact_dedup_docs": textdedup.SQL_EXACT_DEDUP,
         "minhash_signatures_docs": textdedup.SQL_MINHASH_SIGNATURES,
         "lsh_band_pairs_docs": textdedup.SQL_LSH_BAND_PAIRS,

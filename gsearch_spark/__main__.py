@@ -89,17 +89,22 @@ def cmd_request(args) -> int:
     out = args.out or os.path.join(args.build_dir, "answers")
     answers.write.mode("overwrite").parquet(out)
     answers = spark.read.parquet(out)
-    # gsearch.neighbors.txt-style TSV (answer sink, src/answer.rs:35-76)
+    # gsearch.neighbors.txt-style TSV (answer sink, src/answer.rs:35-76).
+    # STREAMED via toLocalIterator — the parquet sink is the real output;
+    # the TSV must not collect() 10^9 answer rows onto the driver (one
+    # partition is in driver memory at a time).
     tsv = os.path.join(os.path.dirname(out) or ".", "gsearch.neighbors.txt")
-    rows = (answers.orderBy("query_id", "rank")
-            .select("query_id", "target_id",
-                    F.format_number("distance", 6).alias("distance"),
-                    "rank").collect())
+    it = (answers.orderBy("query_id", "rank")
+          .select("query_id", "target_id",
+                  F.format_number("distance", 6).alias("distance"),
+                  "rank", "ani").toLocalIterator())
+    n_rows = 0
     with open(tsv, "w") as f:
-        for r in rows:
+        for r in it:
             f.write(f"{r['query_id']}\t{r['target_id']}"
-                    f"\t{r['distance']}\t{r['rank']}\n")
-    print(f"request: {len(rows)} answers -> {out} (+ {tsv})")
+                    f"\t{r['distance']}\t{r['rank']}\t{r['ani']}\n")
+            n_rows += 1
+    print(f"request: {n_rows} answers -> {out} (+ {tsv})")
     return 0
 
 

@@ -147,10 +147,10 @@ def main() -> None:
                                              make_plan)
         from gsearch_spark.operators.signatures import (SIGNATURES_SCHEMA,
                                                         caption_hash_batch)
-        from gsearch_spark.codec import decode_image
         from gsearch_spark.minhash import minhash_batch
         from gsearch_spark.oracle import SEED_PIXEL, combined_shingles
-        from gsearch_spark.simhash import pixel_shingles, simhash64_batch
+        from gsearch_spark.simhash import (pixel_shingles_stream,
+                                           simhash64_batch)
 
         n_base, size_scale = args.n_base, args.size_scale
         n = make_plan(n_base, seed=42, skew_fraction=0.10).n_total
@@ -173,8 +173,7 @@ def main() -> None:
                 mh = minhash_batch(h, r, m, cfg.sketch_size, algo=cfg.algo,
                                    seed=cfg.seed).view(np.int64)
                 sh = simhash64_batch(np.stack(
-                    [pixel_shingles(decode_image(b),
-                                    seed=cfg.seed ^ SEED_PIXEL)
+                    [pixel_shingles_stream(b, seed=cfg.seed ^ SEED_PIXEL)
                      for b in tbl["bytes"]]))
                 yield pd.DataFrame({
                     "image_id": tbl["image_id"].to_numpy(),

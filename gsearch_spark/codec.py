@@ -93,6 +93,73 @@ def decode_image(data: bytes) -> np.ndarray:
     )
 
 
+def decode_pooled_gray(data: bytes, grid: int = 16,
+                       chunk: int = 32 * 1024) -> np.ndarray:
+    """STREAMING decode -> (grid, grid) float64 mean-pooled luma.
+
+    The signature stage only ever consumes the pooled grid (SimHash tiles),
+    yet the naive path materializes the full decoded image (w*h*3 uint8)
+    plus a full-resolution float64 luma (w*h*8) per row — a multi-hundred-KB
+    working set that lives on this host's >L2 memory curve, the measured
+    scaling bottleneck (BENCH/host_capacity.json: 8->32-core efficiency is
+    0.83 for L2-resident work but 0.31 at 400 KB).  Here the zlib stream is
+    decompressed in ``chunk``-sized pieces and complete pixel ROWS are
+    luma-converted and bin-summed into the grid as they appear, so the
+    live set is one compressed chunk + a few rows + the 16x16 accumulator —
+    L2-resident at any image size.  Binning (integer bin edges, area
+    division) is identical to ``phash._pool_to``; only the float summation
+    ORDER differs (row-sequential instead of 2D cumsum), which is why the
+    pipeline, the oracle and the bench job all share THIS function for the
+    SimHash path (bit-identical signatures everywhere, the recall
+    contract).
+
+    Falls back to the full-decode path for images smaller than the grid
+    and for non-container bytes (gated Pillow path).
+    """
+    from gsearch_spark.phash import _pool_to  # local import: cycle guard
+    magic = data[:4]
+    if magic == _MAGIC_PNG:
+        w, h = struct.unpack("<HH", data[4:8])
+        off = 8
+    elif magic == _MAGIC_JPG:
+        w, h, _step = struct.unpack("<HHB", data[4:9])
+        off = 9
+    else:
+        return _pool_to(to_gray(decode_image(data)), grid)
+    if w < grid or h < grid:
+        return _pool_to(to_gray(decode_image(data)), grid)
+
+    ys = (np.arange(grid + 1, dtype=np.int64) * h) // grid
+    xs = (np.arange(grid + 1, dtype=np.int64) * w) // grid
+    acc = np.zeros((grid, grid), dtype=np.float64)
+    rowbytes = w * 3
+    z = zlib.decompressobj()
+    buf = bytearray()
+    r0 = 0
+
+    def drain(tail: bytes) -> None:
+        nonlocal r0
+        buf.extend(tail)
+        k = len(buf) // rowbytes
+        if not k:
+            return
+        block = np.frombuffer(bytes(buf[:k * rowbytes]),
+                              dtype=np.uint8).reshape(k, w, 3)
+        del buf[:k * rowbytes]
+        seg = np.add.reduceat(to_gray(block), xs[:-1], axis=1)
+        bins = np.searchsorted(ys, np.arange(r0, r0 + k), side="right") - 1
+        np.add.at(acc, bins, seg)
+        r0 += k
+
+    for i in range(off, len(data), chunk):
+        drain(z.decompress(data[i:i + chunk]))
+    drain(z.flush())
+    if r0 != h:
+        raise ValueError(f"truncated image stream: {r0}/{h} rows")
+    area = ((ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :])
+    return acc / np.maximum(area, 1)
+
+
 def to_gray(pixels: np.ndarray) -> np.ndarray:
     """ITU-R BT.601 luma, float64 (h, w)."""
     p = pixels.astype(np.float64)

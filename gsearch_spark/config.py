@@ -30,10 +30,12 @@ class PipelineConfig:
     """
 
     seed: int = 42
-    # signature code version: bump whenever a hash function CHANGES so old
-    # checkpoints (whose stored values the new code can't reproduce) fail
-    # the parameters.json hash check instead of silently mixing
-    sig_version: int = 2
+    # signature/checkpoint-format version: bump whenever a hash function
+    # OR a checkpoint schema changes so old checkpoints (whose stored
+    # values/columns the new code can't reproduce) fail the
+    # parameters.json hash check instead of silently mixing
+    # (v3: exact_groups carries the content key ck for append-only add)
+    sig_version: int = 3
     # --- shingling (reference: k-mer generation, src/dna/dnasketch.rs:499-518)
     caption_kgram: int = 5           # caption character k-grams
     phash_shingle_bits: int = 16     # width of phash bit n-gram shingles
@@ -71,6 +73,11 @@ class PipelineConfig:
     # True = per-iteration Parquet under the checkpoint dir (survives
     # executor loss on a real cluster)
     cc_reliable_checkpoints: bool = False
+    # append-only add: per-new-item candidate cap applied AFTER the phash
+    # prefilter (only plausible pairs compete for slots) — bounds the
+    # verify decode cost of one appended viral duplicate at O(cap) instead
+    # of O(existing copies); connectivity needs one surviving edge
+    add_max_candidates_per_item: int = 256
 
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band != self.sketch_size:

@@ -47,6 +47,25 @@ class CheckpointFS:
         rename METADATA-STAGED directories, never live query inputs."""
         return bool(self._fs.rename(self._p(src), self._p(dst)))
 
+    def move_children(self, src_dir: str, dst_dir: str) -> int:
+        """Move every data file of ``src_dir`` into ``dst_dir`` (rename, no
+        copy).  Used by append-only add to commit a staged stage delta into
+        the live checkpoint: parquet part-file names embed a UUID, so
+        collisions are impossible, and each move is a metadata op.
+        ``_SUCCESS`` markers are skipped (the destination already has one).
+        Returns the number of files moved."""
+        self.mkdirs(dst_dir)
+        moved = 0
+        for st in self._fs.listStatus(self._p(src_dir)):
+            name = st.getPath().getName()
+            if name == "_SUCCESS" or name.startswith("."):
+                continue
+            if not self._fs.rename(st.getPath(),
+                                   self._p(f"{dst_dir}/{name}")):
+                raise IOError(f"rename failed: {st.getPath()} -> {dst_dir}")
+            moved += 1
+        return moved
+
     def write_text(self, path: str, text: str) -> None:
         out = self._fs.create(self._p(path), True)
         try:

@@ -52,6 +52,14 @@ _STAR = (f"flatten(transform(slice(ids, 1, {STAR_REPS}), (x, i) -> "
          "y -> named_struct('a', x, 'b', y))))")
 
 
+def band_src() -> "F.Column":
+    """band_id -> source tag (shared by the self-join and probe paths)."""
+    return (F.when(F.col("band_id") < SIMHASH_BAND_OFFSET, F.lit("minhash"))
+            .when(F.col("band_id") < PHASH_BAND_OFFSET, F.lit("simhash"))
+            .when(F.col("band_id") < CAPTION_BAND_OFFSET, F.lit("phash"))
+            .otherwise(F.lit("caption")))
+
+
 def emit_bucket_pairs(bands_df: DataFrame,
                       all_pairs_max: int = ALL_PAIRS_MAX) -> DataFrame:
     """bands -> deduplicated candidate pairs with source tags (pure JVM)."""
@@ -65,14 +73,49 @@ def emit_bucket_pairs(bands_df: DataFrame,
                                       F.expr(_ALL_PAIRS))
                                .otherwise(F.expr(_STAR))).alias("p"))
              .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"),
-                     F.when(F.col("band_id") < SIMHASH_BAND_OFFSET,
-                            F.lit("minhash"))
-                     .when(F.col("band_id") < PHASH_BAND_OFFSET,
-                           F.lit("simhash"))
-                     .when(F.col("band_id") < CAPTION_BAND_OFFSET,
-                           F.lit("phash"))
-                     .otherwise(F.lit("caption"))
-                     .alias("src")))
+                     band_src().alias("src")))
+    return pairs.groupBy("a", "b").agg(F.min("src").alias("src"))
+
+
+def probe_pairs_vs_stored(new_exploded: DataFrame, stored_bands: DataFrame,
+                          heads_per_bucket: int = ALL_PAIRS_MAX) -> DataFrame:
+    """New-vs-OLD candidate pairs for the append-only ``add`` path.
+
+    Joins the UNSALTED exploded band keys of the new slice against the
+    stored bands checkpoint on (band_id, band_hash) — salt is ignored on
+    purpose: salting exists to bound the build-time self-join, while a
+    probe only needs SOME member of each co-bucketed old cluster
+    (reference analog: ``add`` inserts new items into the persisted HNSW
+    and searches existing nodes, gsearch src/dna/dnasketch.rs:106-134).
+
+    Skew guard (the 10^12-scale failure mode): a viral bucket holds 10^6
+    old members, and joining every new dup against all of them re-creates
+    the quadratic blow-up salting killed.  So the stored side is first
+    pruned to TOUCHED buckets (semi join on the new slice's keys — only
+    buckets a new row can land in are ever read past the scan), then cut
+    to the ``heads_per_bucket`` smallest image_ids per bucket (window
+    row_number, spillable — no driver collect, no giant collect_set).
+    Connectivity only needs one verified edge into the bucket's existing
+    cluster; the heads give ``heads_per_bucket`` independent verify shots,
+    the same budget the build-time star policy grants (ALL_PAIRS_MAX),
+    and every band family contributes its own heads.
+    """
+    from pyspark.sql import Window
+    keys = new_exploded.select("band_id", "band_hash").distinct()
+    touched = stored_bands.join(keys, ["band_id", "band_hash"], "left_semi")
+    wk = Window.partitionBy("band_id", "band_hash").orderBy("image_id")
+    heads = (touched
+             .withColumn("rn", F.row_number().over(wk))
+             .filter(F.col("rn") <= heads_per_bucket)
+             .select("band_id", "band_hash",
+                     F.col("image_id").alias("old_id")))
+    q = new_exploded.select("band_id", "band_hash",
+                            F.col("image_id").alias("new_id"))
+    pairs = (heads.join(q, ["band_id", "band_hash"])
+             .filter(F.col("old_id") != F.col("new_id"))
+             .select(F.least("old_id", "new_id").alias("a"),
+                     F.greatest("old_id", "new_id").alias("b"),
+                     band_src().alias("src")))
     return pairs.groupBy("a", "b").agg(F.min("src").alias("src"))
 
 

@@ -23,24 +23,37 @@ decoding anything.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
-EXACT_GROUPS_SCHEMA = "image_id string, rep_id string"
+EXACT_GROUPS_SCHEMA = "image_id string, rep_id string, ck string"
+
+
+def content_keys(images: DataFrame) -> DataFrame:
+    """images -> (image_id, ck): the 2x128-bit exact-content key, computed
+    JVM-side with no decode.  md5 keeps collisions out of reach even at
+    10^12 rows.  Exposed separately so the append-only ``add`` path can
+    key NEW rows without rescanning old payload bytes (the stored
+    exact_groups checkpoint carries every old row's ck)."""
+    ncap = F.lower(F.regexp_replace(F.trim(F.coalesce(
+        F.col("caption"), F.lit(""))), r"\s+", " "))
+    return images.select(
+        "image_id",
+        F.concat(F.md5("bytes"), F.lit("|"), F.md5(ncap)).alias("ck"))
 
 
 def exact_groups(images: DataFrame) -> DataFrame:
-    """images -> (image_id, rep_id): one row per image, rep = min id of
-    its exact-content group.  One shuffle on the content key; md5 (128
-    bit) keeps collisions out of reach even at 10^12 rows."""
-    ncap = F.lower(F.regexp_replace(F.trim(F.coalesce(
-        F.col("caption"), F.lit(""))), r"\s+", " "))
-    keyed = images.select(
-        "image_id",
-        F.concat(F.md5("bytes"), F.lit("|"), F.md5(ncap)).alias("ck"))
-    w_min = (keyed.groupBy("ck")
-             .agg(F.min("image_id").alias("rep_id")))
-    return (keyed.join(w_min, "ck")
-            .select("image_id", "rep_id"))
+    """images -> (image_id, rep_id, ck): one row per image, rep = min id
+    of its exact-content group.
+
+    ONE scan of the payload bytes (the md5-over-bytes is the heavy part of
+    this stage) and ONE shuffle: the min-per-group is a window over ck, so
+    the groupBy + re-join form — which scanned (and md5'd) the images
+    twice — is gone.  ck is kept in the output so incremental adds can
+    group new rows against old groups without touching old bytes."""
+    w = Window.partitionBy("ck")
+    return (content_keys(images)
+            .select("image_id",
+                    F.min("image_id").over(w).alias("rep_id"), "ck"))
 
 
 def representatives(images: DataFrame, groups: DataFrame) -> DataFrame:

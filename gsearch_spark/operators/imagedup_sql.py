@@ -164,3 +164,118 @@ def sql_images_lsh_pairs(parquet_path: str) -> str:
       FROM bands x JOIN bands y
         ON x.band = y.band AND x.sig = y.sig AND x.image_id < y.image_id
     """
+
+
+# --------------------------------------------------------------------------
+# Request/reformat twin: per-probe top-k answers with ANI columns.
+#
+# The reference's most-used output surface is `request` piped through
+# `reformat` (src/bin/reformat.rs:69-86): one row per (query, neighbor)
+# with the sketch distance and an ANI estimate — model 1 (Poisson)
+# (1 + ln(2j/(1+j))/k)*100, model 2 (binomial) (2j/(1+j))^(1/k)*100.
+# Probes are every 7th image (deterministic on the numeric id suffix so
+# Spark and DuckDB pick identical rows); candidates come from the band
+# equi-join (band match => >= ROWS_PER_BAND agreeing slots => j_est > 0,
+# so ln never sees 0); j_est is exact slot agreement over all perms.
+# --------------------------------------------------------------------------
+
+REQ_K = 3
+REQ_MAX_DIST = 0.5
+
+
+def q_images_request_ani(spark: SparkSession, parquet_path: str) -> DataFrame:
+    return spark.sql(_spark_minhash_cte(parquet_path) + f"""
+      , bands AS (
+        SELECT image_id, cast(j / {ROWS_PER_BAND} AS int) AS band,
+               array_join(transform(array_sort(
+                   collect_list(struct(j, minval))),
+                   s -> cast(s.minval AS string)), '-') AS sig
+        FROM minhash
+        GROUP BY image_id, cast(j / {ROWS_PER_BAND} AS int)
+      ),
+      probes AS (
+        SELECT image_id FROM img
+        WHERE cast(substring(image_id, 5, 8) AS int) % 7 = 0
+      ),
+      cand AS (
+        SELECT p.image_id AS query_id, t.image_id AS target_id
+        FROM bands p JOIN bands t
+          ON p.band = t.band AND p.sig = t.sig
+             AND p.image_id <> t.image_id
+        JOIN probes q ON p.image_id = q.image_id
+        GROUP BY p.image_id, t.image_id
+      ),
+      scored AS (
+        SELECT c.query_id, c.target_id,
+               round(cast(sum(CASE WHEN mp.minval = mt.minval
+                                   THEN 1 ELSE 0 END) AS double)
+                     / {N_PERMS}.0, 6) AS j_est
+        FROM cand c
+        JOIN minhash mp ON mp.image_id = c.query_id
+        JOIN minhash mt ON mt.image_id = c.target_id AND mt.j = mp.j
+        GROUP BY c.query_id, c.target_id
+      ),
+      ranked AS (
+        SELECT query_id, target_id, j_est,
+               round(1.0 - j_est, 6) AS distance,
+               cast(row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY 1.0 - j_est ASC, target_id ASC) AS int) AS rnk
+        FROM scored
+      )
+      SELECT query_id, target_id, j_est, distance, rnk,
+             round((1.0 + ln(2.0 * j_est / (1.0 + j_est))
+                    / {CAPTION_K}.0) * 100.0, 6) AS ani_poisson,
+             round(pow(2.0 * j_est / (1.0 + j_est),
+                       1.0 / {CAPTION_K}.0) * 100.0, 6) AS ani_binomial
+      FROM ranked
+      WHERE rnk <= {REQ_K} AND distance <= {REQ_MAX_DIST}
+    """)
+
+
+def sql_images_request_ani(parquet_path: str) -> str:
+    return _duck_minhash_cte(parquet_path) + f"""
+      , bands AS (
+        SELECT image_id, (j // {ROWS_PER_BAND})::INT AS band,
+               string_agg(minval::VARCHAR, '-' ORDER BY j) AS sig
+        FROM minhash
+        GROUP BY image_id, (j // {ROWS_PER_BAND})::INT
+      ),
+      probes AS (
+        SELECT image_id FROM img
+        WHERE substr(image_id, 5, 8)::INT % 7 = 0
+      ),
+      cand AS (
+        SELECT p.image_id AS query_id, t.image_id AS target_id
+        FROM bands p JOIN bands t
+          ON p.band = t.band AND p.sig = t.sig
+             AND p.image_id <> t.image_id
+        JOIN probes q ON p.image_id = q.image_id
+        GROUP BY p.image_id, t.image_id
+      ),
+      scored AS (
+        SELECT c.query_id, c.target_id,
+               round((sum(CASE WHEN mp.minval = mt.minval
+                               THEN 1 ELSE 0 END))::DOUBLE
+                     / {N_PERMS}.0, 6) AS j_est
+        FROM cand c
+        JOIN minhash mp ON mp.image_id = c.query_id
+        JOIN minhash mt ON mt.image_id = c.target_id AND mt.j = mp.j
+        GROUP BY c.query_id, c.target_id
+      ),
+      ranked AS (
+        SELECT query_id, target_id, j_est,
+               round(1.0 - j_est, 6) AS distance,
+               (row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY 1.0 - j_est ASC, target_id ASC))::INT AS rnk
+        FROM scored
+      )
+      SELECT query_id, target_id, j_est, distance, rnk,
+             round((1.0 + ln(2.0 * j_est / (1.0 + j_est))
+                    / {CAPTION_K}.0) * 100.0, 6) AS ani_poisson,
+             round(pow(2.0 * j_est / (1.0 + j_est),
+                       1.0 / {CAPTION_K}.0) * 100.0, 6) AS ani_binomial
+      FROM ranked
+      WHERE rnk <= {REQ_K} AND distance <= {REQ_MAX_DIST}
+    """

@@ -224,49 +224,182 @@ def run_pipeline(spark: SparkSession, images_path: str, checkpoint_dir: str,
 def incremental_add(spark: SparkSession, cfg: PipelineConfig,
                     checkpoint_dir: str, new_images: DataFrame,
                     all_images: DataFrame) -> DataFrame:
-    """The reference's ``add`` subcommand analog (gsearch
-    ``src/bin/gsearch.rs:488-505``, pipeline reload at
-    ``src/dna/dnasketch.rs:106-134``): append new items to an existing
-    build WITHOUT re-sketching the old ones.
+    """APPEND-ONLY add: insert new items into an existing build without
+    re-sketching, re-banding or re-verifying the old corpus.
 
-    * config is reloaded from the checkpoint and must match (the
+    The reference's ``add`` subcommand analog (gsearch
+    ``src/bin/gsearch.rs:488-505``): it reloads the persisted index and
+    parameters, inserts ONLY the new items into the existing HNSW with
+    continuing ranks (``src/dna/dnasketch.rs:106-134``, rank continuation
+    ``:405,427-433``) — old nodes are never rebuilt.  Mirrored here:
+
+    * config reloads from the checkpoint and must hash-match (the
       reference re-sketches new data with the ORIGINAL parameters);
-    * signatures of existing rows are reused from the checkpoint — only
-      ``new_images`` pay the decode+sketch cost (the expensive stage);
-    * banding/candidates/verify/CC re-run over the union (cluster
-      membership is global — new edges can merge old clusters, exactly
-      why the reference re-runs search over the merged index).
+    * exact grouping keys new rows against the STORED content keys (ck in
+      the exact_groups checkpoint) — old payload bytes are never rescanned;
+      a new row whose content matches an existing group becomes a MEMBER
+      of that group's existing representative (rank continuation: a rep
+      keeps its identity even if a lexicographically smaller duplicate
+      arrives later — output labels are normalized below so clusters still
+      equal a from-scratch rebuild's);
+    * only genuinely new representatives are decoded + sketched + banded;
+    * candidates = new-vs-new (the standard salted bucket self-join over
+      the new slice only) ∪ new-vs-old (bounded probe join against the
+      stored bands, :func:`probe_pairs_vs_stored`) ∪ the suffix pass over
+      ONLY the phash groups a new rep touches;
+    * verify decodes only new-touching pairs, capped per new item
+      (cfg.add_max_candidates_per_item) after the phash prefilter;
+    * CC reruns over stored ∪ new edges — cluster membership is global
+      (new edges can merge old clusters), and CC cost is O(edges), the
+      one irreducibly global step;
+    * commit APPENDS the staged deltas (file renames, no rewrite) to
+      exact_groups/signatures/bands/candidate_pairs/verified_edges and
+      overwrites clusters.  Per-add IO and decode cost are O(new), not
+      O(corpus); per-stage delta row counts land in pipeline_state under
+      ``add_*`` stage names (the O(new) contract is asserted in
+      tests/test_incremental_add.py).
 
-    ``all_images`` must be old ∪ new (verification needs both payloads).
-    Returns the new clusters DataFrame.
+    Not atomic across stages: a crash mid-commit can leave a partially
+    appended checkpoint (the reference's in-place HNSW mutate has the
+    same failure mode).  Re-running the SAME add is not idempotent —
+    restore from a snapshot or rebuild instead.
+
+    ``all_images`` must be old ∪ new (verify needs both sides' payloads;
+    at scale, back it with a table whose layout supports id lookups —
+    Iceberg bucket pruning — so the payload attach reads only candidate
+    row groups).  Returns the new clusters DataFrame.
     """
+    from pyspark.sql import Window
+    from gsearch_spark.operators.banding import explode_all_bands
+    from gsearch_spark.operators.candidates import (emit_bucket_pairs,
+                                                    probe_pairs_vs_stored)
+    from gsearch_spark.operators.exact import content_keys
+    from gsearch_spark.operators.suffix import suffix_candidate_pairs
+    from gsearch_spark.operators.verify import (attach_payloads,
+                                                prefilter_pairs, verify_pairs)
+
     pipe = NearDupPipeline(spark, cfg, checkpoint_dir)
     cfg.assert_matches_via(pipe.fs, checkpoint_dir)
-    old_sigs = spark.read.parquet(pipe._path("signatures"))
 
-    # exact groups over the union: a new row can even displace an old
-    # representative (smaller id, identical content) — recompute the cheap
-    # grouping globally and sketch only reps that lack a signature
-    groups = exact_groups(all_images)
-    reps_all = groups.filter(F.col("image_id") == F.col("rep_id")) \
-                     .select("image_id")
-    have = old_sigs.select("image_id")
-    need = reps_all.join(have, "image_id", "left_anti")
-    to_sketch = all_images.join(need, "image_id", "left_semi")
-    new_sigs = compute_signatures(to_sketch, cfg)
-    merged = (old_sigs.join(reps_all, "image_id", "left_semi")
-              .unionByName(new_sigs))
+    old_groups = spark.read.parquet(pipe._path("exact_groups"))
+    if "ck" not in old_groups.columns:
+        raise ValueError(
+            "checkpoint predates append-only add (exact_groups has no "
+            "content-key column); rebuild with tohnsw first")
+    old_bands = spark.read.parquet(pipe._path("bands"))
+    old_edges = spark.read.parquet(pipe._path("verified_edges"))
 
-    # stage atomically, then invalidate downstream (FS-routed: works the
-    # same on file:/, hdfs://, s3a:// checkpoint roots)
-    tmp = pipe._path("signatures") + "_adding"
-    merged.write.mode("overwrite").parquet(tmp)
-    tmp_g = pipe._path("exact_groups") + "_adding"
-    groups.write.mode("overwrite").parquet(tmp_g)
-    pipe.fs.delete(pipe._path("signatures"))
-    pipe.fs.rename(tmp, pipe._path("signatures"))
-    pipe.fs.delete(pipe._path("exact_groups"))
-    pipe.fs.rename(tmp_g, pipe._path("exact_groups"))
-    for stage in ("bands", "candidate_pairs", "verified_edges", "clusters"):
-        pipe.fs.delete(pipe._path(stage))
-    return pipe.run(all_images, resume=True)
+    n_new = new_images.count()
+    n_old = old_groups.count()
+    if all_images.count() != n_old + n_new:
+        raise ValueError("all_images must be exactly old ∪ new")
+    if new_images.join(old_groups.select("image_id"),
+                       "image_id", "left_semi").count():
+        raise ValueError("new_images contains ids already in the build")
+
+    staging = pipe._path("_add_staging")
+    pipe.fs.delete(staging)
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        """Materialize a delta under staging; record rows/secs as add_*."""
+        t0 = time.time()
+        df.write.mode("overwrite").parquet(f"{staging}/{name}")
+        out = spark.read.parquet(f"{staging}/{name}")
+        pipe._record(f"add_{name}", out, t0, skipped=False)
+        return out
+
+    # -- exact grouping of the new slice (no old bytes touched) ----------
+    nk = content_keys(new_images)
+    old_keys = old_groups.select("ck", "rep_id").distinct()
+    matched = (nk.join(old_keys, "ck")
+               .select("image_id", "rep_id", "ck"))
+    w_ck = Window.partitionBy("ck")
+    fresh = (nk.join(old_keys.select("ck"), "ck", "left_anti")
+             .select("image_id",
+                     F.min("image_id").over(w_ck).alias("rep_id"), "ck"))
+    new_groups = stage("exact_groups", matched.unionByName(fresh))
+
+    # -- sketch only brand-new representatives ---------------------------
+    new_rep_ids = (new_groups
+                   .filter(F.col("image_id") == F.col("rep_id"))
+                   .select("image_id"))
+    to_sketch = new_images.join(new_rep_ids, "image_id", "left_semi")
+    new_sigs = stage("signatures", compute_signatures(to_sketch, cfg))
+
+    # -- band only the new signatures (salting within the slice) ---------
+    new_bands = stage("bands", build_bands(new_sigs, cfg))
+
+    # -- candidates: new-vs-new ∪ new-vs-old ∪ touched suffix groups -----
+    nn_pairs = emit_bucket_pairs(new_bands)
+    no_pairs = probe_pairs_vs_stored(explode_all_bands(new_sigs, cfg),
+                                     old_bands)
+    all_rep_ids = (old_groups.unionByName(new_groups)
+                   .filter(F.col("image_id") == F.col("rep_id"))
+                   .select("image_id"))
+    reps_imgs = (all_images.join(all_rep_ids, "image_id", "left_semi")
+                 .select("phash", "image_id", "caption"))
+    touched_ph = (to_sketch.select("phash").distinct())
+    sfx = suffix_candidate_pairs(reps_imgs.join(touched_ph, "phash",
+                                                "left_semi"))
+    sfx_new = (sfx.join(new_rep_ids.withColumnRenamed("image_id", "a"),
+                        "a", "left_semi")
+               .unionByName(
+                   sfx.join(new_rep_ids.withColumnRenamed("image_id", "b"),
+                            "b", "left_semi"))
+               .dropDuplicates(["a", "b"]))
+    new_pairs = stage("candidate_pairs",
+                      nn_pairs.unionByName(no_pairs).unionByName(sfx_new)
+                      .groupBy("a", "b").agg(F.min("src").alias("src")))
+
+    # -- verify only new-touching pairs, capped per new item -------------
+    plausible = prefilter_pairs(new_pairs, all_images,
+                                cfg.prefilter_max_phash_hamming,
+                                cfg.prefilter_max_phash_hamming_phash_src)
+    flag_a = new_rep_ids.select(F.col("image_id").alias("a"),
+                                F.lit(True).alias("a_new"))
+    keyed = (plausible
+             .join(flag_a, "a", "left")
+             .withColumn("key",
+                         F.when(F.coalesce("a_new", F.lit(False)),
+                                F.col("a")).otherwise(F.col("b")))
+             .withColumn("other",
+                         F.when(F.coalesce("a_new", F.lit(False)),
+                                F.col("b")).otherwise(F.col("a"))))
+    w_cap = Window.partitionBy("key").orderBy("other")
+    capped = (keyed.withColumn("rn", F.row_number().over(w_cap))
+              .filter(F.col("rn") <= cfg.add_max_candidates_per_item)
+              .select("a", "b", "src"))
+    attached = attach_payloads(capped, all_images,
+                               strategy=cfg.verify_attach,
+                               broadcast_max_ids=cfg.verify_broadcast_max_ids)
+    new_edges = stage("verified_edges",
+                      verify_pairs(attached, cfg).filter(F.col("dup"))
+                      .select("a", "b", "src", "psnr", "caption_eq"))
+
+    # -- global CC over stored ∪ new edges, labels = min member id -------
+    edges = (old_edges.select("a", "b")
+             .unionByName(new_edges.select("a", "b")))
+    cc_dir = (os.path.join(staging, "cc_work")
+              if cfg.cc_reliable_checkpoints else None)
+    rep_clusters = assign_clusters(edges, all_rep_ids,
+                                   checkpoint_dir=cc_dir)
+    expanded = expand_clusters(rep_clusters,
+                               old_groups.unionByName(new_groups))
+    # label normalization: under rank continuation a group's rep may no
+    # longer be its minimum member, so cluster_id = min rep id is not
+    # automatically min MEMBER id; one narrow shuffle restores the
+    # from-scratch labeling (cluster_id = lexicographic min member)
+    norm = (expanded.groupBy("cluster_id")
+            .agg(F.min("image_id").alias("norm_id")))
+    clusters = stage("clusters",
+                     expanded.join(norm, "cluster_id")
+                     .select("image_id",
+                             F.col("norm_id").alias("cluster_id")))
+
+    # -- commit: move staged delta files in; overwrite clusters ----------
+    for name in ("exact_groups", "signatures", "bands", "candidate_pairs",
+                 "verified_edges"):
+        pipe.fs.move_children(f"{staging}/{name}", pipe._path(name))
+    clusters.write.mode("overwrite").parquet(pipe._path("clusters"))
+    pipe.fs.delete(staging)
+    return spark.read.parquet(pipe._path("clusters"))

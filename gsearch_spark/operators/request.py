@@ -35,7 +35,7 @@ from gsearch_spark.operators.signatures import compute_signatures
 
 ANSWERS_SCHEMA = ("query_id string, target_id string, j_est double, "
                   "phash_ham int, caption_eq boolean, distance double, "
-                  "rank int")
+                  "rank int, ani double, ani_m2 double")
 
 
 def probe_candidates(query_bands: DataFrame, stored_bands: DataFrame,
@@ -98,12 +98,26 @@ def rank_answers(cands: DataFrame, query_sigs: DataFrame,
                           F.round(1.0 - F.col("j_est"), 6))
               .withColumn("caption_eq", F.col("q_cap") == F.col("t_cap"))
               .filter(F.col("distance") <= max_distance))
+    # reformat-analog answer columns (gsearch src/bin/reformat.rs:80-86):
+    # ANI model 1 (Poisson) = (1 + ln(2j/(1+j))/k) * 100,
+    # ANI model 2 (binomial) = (2j/(1+j))^(1/k) * 100, k = shingle k-gram
+    # size (the kmer analog).  j = 0 (possible only at max_distance = 1)
+    # yields NULL instead of model 1's -inf.
+    kmer = float(cfg.caption_kgram)
+    ratio = 2.0 * F.col("j_est") / (1.0 + F.col("j_est"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("distance").asc(), F.col("target_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= k)
+            .withColumn("ani",
+                        F.when(F.col("j_est") > 0,
+                               F.round((1.0 + F.log(ratio) / kmer) * 100.0,
+                                       6)))
+            .withColumn("ani_m2",
+                        F.when(F.col("j_est") > 0,
+                               F.round(F.pow(ratio, 1.0 / kmer) * 100.0, 6)))
             .select("query_id", "target_id", "j_est", "phash_ham",
-                    "caption_eq", "distance", "rank"))
+                    "caption_eq", "distance", "rank", "ani", "ani_m2"))
 
 
 def request(spark: SparkSession, checkpoint_dir: str,
@@ -130,7 +144,13 @@ def request(spark: SparkSession, checkpoint_dir: str,
             "parameters.json discipline)")
     cfg = stored_cfg
 
-    q_sigs = compute_signatures(query_images, cfg)
+    # localCheckpoint (eager): the probe signatures feed BOTH the band
+    # explode and the answer ranking; without the cut, each consumer
+    # re-runs the decode+sketch UDF (the expensive half, doubled for
+    # large probe sets).  localCheckpoint, not persist — a persisted
+    # plan over a rewritten checkpoint path once leaked stale results
+    # through Spark's plan-keyed cache (the documented pitfall).
+    q_sigs = compute_signatures(query_images, cfg).localCheckpoint()
     q_bands = explode_all_bands(q_sigs, cfg)
     stored_bands = spark.read.parquet(f"{checkpoint_dir}/bands")
     stored_sigs = spark.read.parquet(f"{checkpoint_dir}/signatures")

@@ -25,13 +25,12 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from gsearch_spark.codec import decode_image
 from gsearch_spark.config import PipelineConfig
 from gsearch_spark.hashing import hash_u64
 from gsearch_spark.minhash import minhash_batch
 from gsearch_spark.oracle import SEED_PIXEL, combined_shingles
 from gsearch_spark.shingles import normalize_caption
-from gsearch_spark.simhash import pixel_shingles, simhash64_batch
+from gsearch_spark.simhash import pixel_shingles_stream, simhash64_batch
 
 SEED_CAPHASH = 0xCA9
 
@@ -94,8 +93,11 @@ def compute_signatures(images: DataFrame, cfg: PipelineConfig) -> DataFrame:
             h, r = combined_shingles(phash, captions, cfg)
             mh = minhash_batch(h, r, n, cfg.sketch_size, algo=cfg.algo,
                                seed=cfg.seed).view(np.int64)
+            # STREAMING pooled decode: the full image never materializes
+            # (L2-resident working set — the measured 8->32-core scaling
+            # lever, see codec.decode_pooled_gray)
             shingles = np.stack([
-                pixel_shingles(decode_image(b), seed=cfg.seed ^ SEED_PIXEL)
+                pixel_shingles_stream(b, seed=cfg.seed ^ SEED_PIXEL)
                 for b in pdf["bytes"]])
             sh = simhash64_batch(shingles)
             cap_hash = caption_hash_batch(captions)

@@ -57,8 +57,13 @@ def oracle_minhash(phash: np.ndarray, captions: "list[str]",
 
 
 def oracle_simhash(images: "list[bytes]", cfg: PipelineConfig) -> np.ndarray:
-    """(n,) int64 SimHash over decoded-pixel feature shingles."""
-    sh = np.stack([pixel_shingles(decode_image(b), seed=cfg.seed ^ SEED_PIXEL)
+    """(n,) int64 SimHash over decoded-pixel feature shingles.
+
+    Shares pixel_shingles_stream with the pipeline UDF — the streaming
+    pooled decode's summation order differs from the in-memory variant in
+    the last ulp, so oracle and pipeline MUST use the same one."""
+    from gsearch_spark.simhash import pixel_shingles_stream
+    sh = np.stack([pixel_shingles_stream(b, seed=cfg.seed ^ SEED_PIXEL)
                    for b in images])
     return simhash64_batch(sh)
 

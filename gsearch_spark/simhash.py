@@ -27,13 +27,30 @@ _GRID = 16
 _QUANT = 16.0  # gray-level quantization step for tile features
 
 
-def pixel_shingles(pixels: np.ndarray, seed: int = 42) -> np.ndarray:
-    """Decoded image -> uint64 feature-shingle hashes (one per grid tile)."""
-    gray = to_gray(pixels)
-    pooled = _pool_to(gray, _GRID)
+def pooled_shingles(pooled: np.ndarray, seed: int = 42) -> np.ndarray:
+    """(16,16) pooled luma grid -> uint64 feature-shingle hashes."""
     q = np.floor(pooled / _QUANT).astype(np.int64).ravel()
     pos = np.arange(_GRID * _GRID, dtype=np.int64)
     return hash_pair_u64(q.view(_U64), pos.astype(_U64), seed=seed)
+
+
+def pixel_shingles(pixels: np.ndarray, seed: int = 42) -> np.ndarray:
+    """Decoded image -> uint64 feature-shingle hashes (one per grid tile).
+
+    In-memory variant (tests / already-decoded arrays).  The PIPELINE path
+    is :func:`pixel_shingles_stream`, which never materializes the full
+    image; the two can differ in the last float ulp of the pooled means
+    (summation order), so a single run must not mix them — the pipeline,
+    oracle and bench job all use the stream variant.
+    """
+    return pooled_shingles(_pool_to(to_gray(pixels), _GRID), seed=seed)
+
+
+def pixel_shingles_stream(data: bytes, seed: int = 42) -> np.ndarray:
+    """Encoded image bytes -> shingle hashes via the STREAMING pooled
+    decode (L2-resident working set; see codec.decode_pooled_gray)."""
+    from gsearch_spark.codec import decode_pooled_gray
+    return pooled_shingles(decode_pooled_gray(data, _GRID), seed=seed)
 
 
 def simhash64(shingle_hashes: np.ndarray) -> int:

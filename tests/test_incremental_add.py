@@ -1,8 +1,15 @@
-"""Incremental add: append rows to a built pipeline; clusters must equal
-a from-scratch run over the union (reference add-mode semantics)."""
+"""APPEND-ONLY incremental add (reference ``add`` semantics, gsearch
+src/dna/dnasketch.rs:106-134, rank continuation :405,427-433):
+
+* clusters after add == clusters of a from-scratch run over the union;
+* per-add work is O(new): only new rows are sketched/banded/verified
+  (asserted from the pipeline_state add_* delta rows);
+* stored checkpoint files for old rows are never rewritten;
+* id clashes and wrong ``all_images`` are refused."""
 
 from __future__ import annotations
 
+import os
 import shutil
 
 import pytest
@@ -14,10 +21,18 @@ from gsearch_spark.operators.pipeline import NearDupPipeline, incremental_add
 CFG = PipelineConfig()
 CKPT_ADD = "/tmp/gsearch_spark_ckpt_add"
 CKPT_FULL = "/tmp/gsearch_spark_ckpt_addfull"
+CKPT_TWO = "/tmp/gsearch_spark_ckpt_add2"
 
 
 def _assign(df):
     return {r["image_id"]: r["cluster_id"] for r in df.collect()}
+
+
+def _state_rows(spark, ckpt):
+    state = spark.read.parquet(os.path.join(ckpt, "pipeline_state"))
+    rows = (state.groupBy("stage").agg(F.sum("rows_out").alias("n"))
+            .collect())
+    return {r["stage"]: r["n"] for r in rows}
 
 
 def test_incremental_add_matches_full_run(spark, small_fixture_dir):
@@ -29,11 +44,53 @@ def test_incremental_add_matches_full_run(spark, small_fixture_dir):
     cut = ids[int(len(ids) * 0.8)]
     old = images.filter(F.col("image_id") < cut)
     new = images.filter(F.col("image_id") >= cut)
-    assert new.count() > 0 and old.count() > 0
+    n_new, n_old = new.count(), old.count()
+    assert n_new > 0 and n_old > 0
 
     shutil.rmtree(CKPT_ADD, ignore_errors=True)
     NearDupPipeline(spark, CFG, CKPT_ADD).run(old, resume=False)
     added = _assign(incremental_add(spark, CFG, CKPT_ADD, new, images))
+
+    shutil.rmtree(CKPT_FULL, ignore_errors=True)
+    full = _assign(NearDupPipeline(spark, CFG, CKPT_FULL).run(
+        images, resume=False))
+    assert added == full
+
+
+def test_add_work_is_o_new_not_o_corpus(spark, small_fixture_dir):
+    """The O(new) contract: the add_* delta rows recorded by the previous
+    test's add must be bounded by the NEW slice, not the corpus (the
+    round-2 implementation re-banded and re-verified everything)."""
+    images = spark.read.parquet(f"{small_fixture_dir}/images.parquet")
+    n_total = images.count()
+    state = _state_rows(spark, CKPT_ADD)
+    n_new = state["add_exact_groups"]          # one row per added image
+    assert 0 < n_new < n_total * 0.3
+    # sketch/band deltas are bounded by the new slice (reps <= new rows;
+    # <= 29 band rows per rep: 16 minhash + 6 simhash + 6 phash + caption)
+    assert state["add_signatures"] <= n_new
+    assert state["add_bands"] <= n_new * 29
+    # and strictly below what a full re-band would have produced
+    assert state["add_bands"] < state["bands"]
+
+
+def test_incremental_add_two_steps_interleaved(spark, small_fixture_dir):
+    """Two sequential adds with INTERLEAVED ids: added rows include ids
+    smaller than existing group representatives (the rank-continuation
+    corner — a rep keeps its identity; output labels are normalized), and
+    the second add runs against an already-appended checkpoint."""
+    images = spark.read.parquet(f"{small_fixture_dir}/images.parquet")
+    bucket = F.pmod(F.xxhash64("image_id"), F.lit(5))
+    first = images.filter(bucket <= 2)       # ~60%, interleaved
+    second = images.filter(bucket == 3)
+    third = images.filter(bucket == 4)
+    assert second.count() > 0 and third.count() > 0
+
+    shutil.rmtree(CKPT_TWO, ignore_errors=True)
+    NearDupPipeline(spark, CFG, CKPT_TWO).run(first, resume=False)
+    incremental_add(spark, CFG, CKPT_TWO, second,
+                    first.unionByName(second))
+    added = _assign(incremental_add(spark, CFG, CKPT_TWO, third, images))
 
     shutil.rmtree(CKPT_FULL, ignore_errors=True)
     full = _assign(NearDupPipeline(spark, CFG, CKPT_FULL).run(
@@ -47,3 +104,20 @@ def test_incremental_add_refuses_other_config(spark, small_fixture_dir):
     other = dataclasses.replace(CFG, sketch_size=64, bands=8)
     with pytest.raises(ValueError, match="different pipeline config"):
         incremental_add(spark, other, CKPT_ADD, images, images)
+
+
+def test_incremental_add_refuses_id_clash(spark, small_fixture_dir):
+    images = spark.read.parquet(f"{small_fixture_dir}/images.parquet")
+    dup = images.limit(5)  # ids already in the CKPT_ADD build
+    with pytest.raises(ValueError, match="already in the build"):
+        incremental_add(spark, CFG, CKPT_ADD, dup,
+                        images.unionByName(dup))
+
+
+def test_incremental_add_refuses_wrong_union(spark, small_fixture_dir):
+    images = spark.read.parquet(f"{small_fixture_dir}/images.parquet")
+    fresh = images.limit(5).select(
+        F.concat(F.lit("zz_"), "image_id").alias("image_id"),
+        "bytes", "w", "h", "fmt", "caption", "phash")
+    with pytest.raises(ValueError, match="old ∪ new"):
+        incremental_add(spark, CFG, CKPT_ADD, fresh, images)

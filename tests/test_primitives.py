@@ -64,6 +64,35 @@ def test_decode_unknown_magic_raises():
         decode_image(b"\x89PNG\r\n\x1a\nnot-a-real-decoder")
 
 
+def test_streaming_pooled_decode_matches_full():
+    """decode_pooled_gray (L2-resident streaming path) must agree with
+    full-decode + _pool_to to float tolerance on every container/size,
+    including the w<grid fallback and sizes not divisible by 16."""
+    from gsearch_spark.codec import decode_pooled_gray, to_gray
+    from gsearch_spark.phash import _pool_to
+    rng = np.random.default_rng(7)
+    for w, h, fmt, q in [(64, 48, "png", 92), (100, 63, "jpeg", 92),
+                         (17, 16, "png", 92), (15, 40, "jpeg", 85),
+                         (256, 192, "jpeg", 92)]:
+        px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        data = encode_image(px, fmt, quality=q)
+        a = decode_pooled_gray(data)
+        b = _pool_to(to_gray(decode_image(data)), 16)
+        assert np.allclose(a, b, rtol=1e-12, atol=1e-9), (w, h, fmt)
+
+
+def test_stream_and_memory_shingles_consistent():
+    """pixel_shingles_stream quantizes the same tiles as the in-memory
+    variant away from quantization boundaries (identical on random
+    images with overwhelming probability)."""
+    from gsearch_spark.simhash import pixel_shingles_stream
+    rng = np.random.default_rng(8)
+    px = rng.integers(0, 256, (96, 128, 3)).astype(np.uint8)
+    data = encode_image(px, "png")
+    assert (pixel_shingles_stream(data, seed=5)
+            == pixel_shingles(decode_image(data), seed=5)).all()
+
+
 def test_phash_stable_under_reencode():
     rng = np.random.default_rng(3)
     for _ in range(5):

@@ -119,3 +119,35 @@ def test_request_refuses_mismatched_config(spark, built, query_df):
     other = PipelineConfig(caption_kgram=4)
     with pytest.raises(ValueError, match="does not match"):
         request(spark, built, query_df, cfg=other)
+
+
+def test_request_sketches_probes_once(spark, built, query_df):
+    """The probe decode+sketch UDF must appear ZERO times in the answer
+    plan: compute_signatures runs once at the localCheckpoint cut, and
+    both consumers (band explode, answer ranking) read the checkpointed
+    blocks — without the cut the plan contained the MapInPandas node
+    twice and the expensive probe sketch executed once per consumer."""
+    answers = request(spark, built, query_df, k=K, max_distance=MAX_DIST)
+    plan = answers._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan, plan[:2000]
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_request_answers_carry_ani(spark, built, query_df):
+    """Reformat-analog columns (gsearch src/bin/reformat.rs:80-86):
+    ANI model 1 = (1+ln(2j/(1+j))/k)*100, model 2 = (2j/(1+j))^(1/k)*100,
+    k = caption_kgram; exact-content top-1 answers (j=1) give ANI 100."""
+    import math
+    got = request(spark, built, query_df, k=K,
+                  max_distance=MAX_DIST).collect()
+    assert got
+    k = CFG.caption_kgram
+    for r in got:
+        j = r["j_est"]
+        if j > 0:
+            want1 = round((1.0 + math.log(2 * j / (1 + j)) / k) * 100.0, 6)
+            want2 = round((2 * j / (1 + j)) ** (1.0 / k) * 100.0, 6)
+            assert abs(r["ani"] - want1) < 1e-6, (r["ani"], want1)
+            assert abs(r["ani_m2"] - want2) < 1e-6
+        if r["rank"] == 1 and r["distance"] == 0.0:
+            assert r["ani"] == 100.0 and r["ani_m2"] == 100.0
