@@ -86,6 +86,25 @@ def main() -> None:
         f"pipeline_{k}": v for k, v in best.items()}
     queries["pipeline_total"] = pipe_total
 
+    # ---- optional: reliable-CC overhead (BENCH_CC_RELIABLE=1) -----------
+    # one extra pipeline run with per-iteration Parquet checkpoints in CC
+    # (the executor-loss-safe mode a real cluster would run) so its cost
+    # vs localCheckpoint is a published number, not a guess
+    if os.environ.get("BENCH_CC_RELIABLE") == "1":
+        import dataclasses
+        ckpt_r = ckpt + "_ccreliable"
+        shutil.rmtree(ckpt_r, ignore_errors=True)
+        pipe_r = NearDupPipeline(
+            spark, dataclasses.replace(cfg, cc_reliable_checkpoints=True),
+            ckpt_r)
+        t0 = time.time()
+        pipe_r.run(images, resume=False)
+        queries["pipeline_total_cc_reliable"] = round(time.time() - t0, 3)
+        queries["pipeline_clusters_cc_reliable"] = round(
+            next(r.seconds for r in pipe_r.records
+                 if r.stage == "clusters"), 3)
+        shutil.rmtree(ckpt_r, ignore_errors=True)
+
     # ---- build-vs-probe: request against the fresh build ----------------
     from pyspark.sql import functions as F
     from gsearch_spark.operators.request import request
@@ -113,7 +132,9 @@ def main() -> None:
             times.append(round(time.time() - t0, 3))
         queries[name] = min(times)
 
-    total = round(sum(queries.values()) - queries["pipeline_total"], 3)
+    total = round(sum(v for k, v in queries.items()
+                      if not k.endswith("_cc_reliable"))
+                  - queries["pipeline_total"], 3)
     out = {
         "metric": "bench_suite_seconds",
         "value": total,

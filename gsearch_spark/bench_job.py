@@ -41,6 +41,11 @@ def main() -> None:
     ap.add_argument("--shuffle-mult", type=int, default=1,
                     help="shuffle partitions = cores * mult (tail-balance "
                          "knob for the CPU-bound scaling job)")
+    ap.add_argument("--multi-jvm", type=int, default=0, metavar="N",
+                    help="run on local-cluster[N, cores/N, mem] — N real "
+                         "executor JVMs instead of one local[cores] JVM; "
+                         "pins whether a scaling residual is the single "
+                         "JVM or host memory physics")
     args = ap.parse_args()
 
     from gsearch_spark.config import PipelineConfig
@@ -51,8 +56,18 @@ def main() -> None:
     from gsearch_spark.session import get_spark
 
     shutil.rmtree(args.ckpt, ignore_errors=True)
+    master, extra_conf = None, None
+    if args.multi_jvm:
+        per = max(1, args.cores // args.multi_jvm)
+        master = f"local-cluster[{args.multi_jvm},{per},8192]"
+        # executors are separate JVMs whose python workers don't inherit
+        # the driver's sys.path — ship the repo dir like --py-files would
+        import os as _os
+        repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        extra_conf = {"spark.executorEnv.PYTHONPATH": repo}
     spark = get_spark(f"bench_c{args.cores}", cores=args.cores,
-                      shuffle_partitions=args.cores * args.shuffle_mult)
+                      shuffle_partitions=args.cores * args.shuffle_mult,
+                      master=master, extra_conf=extra_conf)
     spark.sparkContext.setLogLevel("ERROR")
     cfg = PipelineConfig(shuffle_partitions=args.cores)
 
@@ -134,6 +149,7 @@ def main() -> None:
             "stages_sec": {"gen_sign": round(t_sig - t0, 3),
                            "band_pairs": round(t_end - t_sig, 3)},
         }
+        out["multi_jvm"] = args.multi_jvm
         spark.stop()
         print(json.dumps(out))
         sys.stdout.flush()
@@ -204,6 +220,7 @@ def main() -> None:
             "stages_sec": {"gen_sign": round(t_sig - t0, 3),
                            "band_pairs": round(t_end - t_sig, 3)},
         }
+        out["multi_jvm"] = args.multi_jvm
         spark.stop()
         print(json.dumps(out))
         sys.stdout.flush()
@@ -255,6 +272,7 @@ def main() -> None:
             if sig_lsh else None,
             "images_per_sec_total": round(n / total, 1),
         }
+    out["multi_jvm"] = args.multi_jvm
     spark.stop()
     print(json.dumps(out))
     sys.stdout.flush()

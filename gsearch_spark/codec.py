@@ -93,6 +93,73 @@ def decode_image(data: bytes) -> np.ndarray:
     )
 
 
+class StreamEncoder:
+    """Band-wise encoder for the deterministic containers.
+
+    Feeding row bands top-to-bottom produces BYTE-IDENTICAL output to
+    ``encode_image`` on the full array: the header is a pure function of
+    (w, h, fmt, quality), lossy quantization is per-pixel (band-safe),
+    and ``zlib.compressobj`` flushed once at the end emits the same
+    deflate stream as one-shot ``zlib.compress`` (asserted in
+    tests/test_primitives.py).  Lets the fixture generator synthesize +
+    encode + phash-pool an image in ~16-row bands so its live set stays
+    L2-resident — the generator stands in for source decode in the
+    scaling bench, where full-image materialization was the dominant
+    >L2 memory traffic.
+    """
+
+    def __init__(self, w: int, h: int, fmt: str, quality: int = 92):
+        if fmt in LOSSLESS_FMTS:
+            self.step = 0
+            self._parts = [_MAGIC_PNG + struct.pack("<HH", w, h)]
+        elif fmt in LOSSY_FMTS:
+            self.step = _quant_step(quality)
+            self._parts = [_MAGIC_JPG + struct.pack("<HHB", w, h, self.step)]
+        else:
+            raise ValueError(f"unknown fmt {fmt!r}")
+        self._z = zlib.compressobj(6)
+
+    def quantize(self, band: np.ndarray) -> np.ndarray:
+        """decode_image(result) values for this band (identity if
+        lossless) — feed THIS to downstream consumers (phash pooling)."""
+        if not self.step:
+            return band
+        q = (band.astype(np.int32) // self.step) * self.step \
+            + self.step // 2
+        return np.clip(q, 0, 255).astype(np.uint8)
+
+    def feed_quantized(self, band_q: np.ndarray) -> None:
+        self._parts.append(self._z.compress(band_q.tobytes()))
+
+    def finish(self) -> bytes:
+        self._parts.append(self._z.flush())
+        return b"".join(self._parts)
+
+
+class PooledGrayAccumulator:
+    """Band-wise mean-pooled luma; same integer binning + area division
+    as ``phash._pool_to`` / ``decode_pooled_gray`` (row-sequential
+    summation).  Feed row bands top-to-bottom, then ``result()``."""
+
+    def __init__(self, w: int, h: int, grid: int):
+        if w < grid or h < grid:
+            raise ValueError("image smaller than pooling grid")
+        self.ys = (np.arange(grid + 1, dtype=np.int64) * h) // grid
+        self.xs = (np.arange(grid + 1, dtype=np.int64) * w) // grid
+        self.acc = np.zeros((grid, grid), dtype=np.float64)
+
+    def feed(self, r0: int, band: np.ndarray) -> None:
+        seg = np.add.reduceat(to_gray(band), self.xs[:-1], axis=1)
+        bins = np.searchsorted(self.ys, np.arange(r0, r0 + band.shape[0]),
+                               side="right") - 1
+        np.add.at(self.acc, bins, seg)
+
+    def result(self) -> np.ndarray:
+        area = ((self.ys[1:] - self.ys[:-1])[:, None]
+                * (self.xs[1:] - self.xs[:-1])[None, :])
+        return self.acc / np.maximum(area, 1)
+
+
 def decode_pooled_gray(data: bytes, grid: int = 16,
                        chunk: int = 32 * 1024) -> np.ndarray:
     """STREAMING decode -> (grid, grid) float64 mean-pooled luma.

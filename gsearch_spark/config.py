@@ -51,7 +51,11 @@ class PipelineConfig:
     hot_band_threshold: int = 64     # band sizes above this get salted
     hot_stats_sample_mod: int = 4    # hot detection over a 1/k id sample
     simhash_bands: int = 4           # simhash chunks; keys are chunk PAIRS
-    phash_bands: int = 4             # direct phash bit-chunk bands
+    # phash chunk-combo bands: C(chunks, combo) bands keyed on the combo's
+    # chunks; guarantees Hamming <= (chunks - combo) coverage = 4 by
+    # default, the full PSNR>=40 re-encode envelope of the codec
+    phash_chunks: int = 8
+    phash_combo: int = 4
     prefilter_max_phash_hamming: int = 20  # metadata prefilter bound
     prefilter_max_phash_hamming_phash_src: int = 8  # phash-band-only pairs
     # --- verification (BASELINE.json input_hint invariant)
@@ -91,6 +95,10 @@ class PipelineConfig:
             raise ValueError("only 64-bit simhash supported")
         if self.caption_kgram < 1:
             raise ValueError("caption_kgram must be >= 1")
+        if 64 % self.phash_chunks != 0 or not (
+                1 <= self.phash_combo <= self.phash_chunks):
+            raise ValueError("phash_chunks must divide 64 and "
+                             "1 <= phash_combo <= phash_chunks")
         if self.verify_attach not in ("auto", "broadcast", "shuffle"):
             raise ValueError(f"unknown verify_attach {self.verify_attach!r}")
 

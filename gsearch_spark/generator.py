@@ -31,8 +31,10 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from gsearch_spark.codec import decode_image, encode_image
-from gsearch_spark.phash import phash64
+from gsearch_spark.codec import (LOSSY_FMTS, PooledGrayAccumulator,
+                                 StreamEncoder, _quant_step, encode_image)
+from gsearch_spark.hashing import hash_pair_u64
+from gsearch_spark.phash import phash64, phash64_from_pooled
 
 SIZES = np.array([32, 48, 64], dtype=np.int32)
 FMTS = ("png", "jpeg")
@@ -127,21 +129,81 @@ def make_plan(n_base: int, seed: int = 42,
 
 # ---------------------------------------------------------------- pixels
 
-def _base_pixels(base_idx: int, seed: int, size_scale: int = 1) -> np.ndarray:
-    """Deterministic RGB noise-plus-gradient pattern for one base image."""
+_BAND_ROWS = 16  # synthesis band height: keeps the live set L2-resident
+
+
+def _synth_params(base_idx: int, seed: int,
+                  size_scale: int = 1) -> "tuple[int, int, list]":
+    """Pattern parameters for one base image (pure function of inputs)."""
     rng = np.random.default_rng((seed << 20) ^ base_idx)
     w = int(SIZES[rng.integers(0, len(SIZES))]) * size_scale
     h = int(SIZES[rng.integers(0, len(SIZES))]) * size_scale
-    y, x = np.mgrid[0:h, 0:w].astype(np.float64)
-    img = np.empty((h, w, 3), dtype=np.float64)
-    for c in range(3):
+    chans = []
+    for _ in range(3):
         ax, ay = rng.uniform(-3, 3, 2)
         phase = rng.uniform(0, 2 * np.pi)
         freq = rng.uniform(0.05, 0.4)
-        img[..., c] = (128 + ax * x + ay * y
-                       + 60 * np.sin(freq * (x + y) + phase)
-                       + rng.normal(0, 12, (h, w)))
-    return np.clip(img, 0, 255).astype(np.uint8)
+        chans.append((ax, ay, phase, freq))
+    return w, h, chans
+
+
+def _synth_band(base_idx: int, seed: int, w: int, chans: "list",
+                r0: int, r1: int) -> np.ndarray:
+    """Rows [r0, r1) of one base pattern -> (r1-r0, w, 3) uint8.
+
+    Noise comes from a per-(image, band, channel) SeedSequence stream so
+    ANY horizontal band is synthesizable independently — the property the
+    streaming composer needs (round 2 drew one (h, w) normal per channel,
+    which forced materializing the full float64 image, the dominant >L2
+    memory traffic in the scaling bench).  Band boundaries are fixed at
+    ``_BAND_ROWS`` so the pixels are a pure function of (seed, ordinal)
+    regardless of how callers batch rows.
+    """
+    x = np.arange(w, dtype=np.float64)[None, :]
+    y = np.arange(r0, r1, dtype=np.float64)[:, None]
+    out = np.empty((r1 - r0, w, 3), dtype=np.float64)
+    for c, (ax, ay, phase, freq) in enumerate(chans):
+        nrng = np.random.default_rng([seed, base_idx, r0, c])
+        out[..., c] = (128.0 + ax * x + ay * y
+                       + 60.0 * np.sin(freq * (x + y) + phase)
+                       + nrng.normal(0, 12, (r1 - r0, w)))
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def _base_pixels(base_idx: int, seed: int, size_scale: int = 1) -> np.ndarray:
+    """Full deterministic RGB pattern (tests / small images); identical
+    values to the band-streamed path by construction."""
+    w, h, chans = _synth_params(base_idx, seed, size_scale)
+    return np.concatenate(
+        [_synth_band(base_idx, seed, w, chans, r0, min(r0 + _BAND_ROWS, h))
+         for r0 in range(0, h, _BAND_ROWS)], axis=0)
+
+
+def _neardup_perturbation(ordinal: int, seed: int, n_flat: int
+                          ) -> "tuple[np.ndarray, np.ndarray]":
+    """(positions, ±1 signs) for the near-dup kind: ~2% of flat pixel
+    values get ±1.  Hash-derived (vectorized, band-filterable) instead of
+    rng.choice, which needs an O(n_flat) permutation buffer."""
+    n_perturb = max(1, int(n_flat * 0.02))
+    hs = hash_pair_u64(np.arange(n_perturb, dtype=np.uint64),
+                       np.full(n_perturb, ordinal, dtype=np.uint64),
+                       seed=(seed << 23) & 0xFFFFFFFF)
+    pos = (hs % np.uint64(n_flat)).astype(np.int64)
+    sign = np.where((hs >> np.uint64(63)).astype(bool), 1, -1) \
+        .astype(np.int16)
+    return pos, sign
+
+
+def _perturb_band(band: np.ndarray, pos: np.ndarray, sign: np.ndarray,
+                  w: int, r0: int) -> np.ndarray:
+    lo = r0 * w * 3
+    hi = lo + band.size
+    m = (pos >= lo) & (pos < hi)
+    if not m.any():
+        return band
+    flat = band.astype(np.int16).reshape(-1)
+    np.add.at(flat, pos[m] - lo, sign[m])
+    return np.clip(flat, 0, 255).astype(np.uint8).reshape(band.shape)
 
 
 def _base_fmt(base_idx: int, seed: int) -> str:
@@ -171,61 +233,85 @@ def _skew_pixels() -> np.ndarray:
 
 def generate_row(ordinal: int, plan_kind: int, src: int, seed: int,
                  vocab: "list[str]", size_scale: int = 1) -> "dict":
-    """One fully-materialized output row (pure function of its inputs)."""
+    """One output row (pure function of its inputs), composed in
+    ``_BAND_ROWS``-row streaming bands: synthesize -> (quantize chain /
+    perturb) -> encode + phash-pool, so the full image never
+    materializes (the fixture generator stands in for source decode in
+    the scaling bench; its full-image float64 working set was the
+    dominant >L2 memory traffic there).
+
+    Per-kind pixel semantics (FIXTURES.md):
+      BASE/EXACT/SUBDUP  encode the pattern at q92 in its source format;
+      REENC    re-encode the DECODED source as JPEG (q90 if the source
+               was JPEG, else q92) — since the lossy codec's decode is a
+               per-pixel quantization, decode(encode(px)) is applied as
+               a per-band quantize chain, no round-trip needed;
+      NEARDUP  ±1 on ~2% of decoded values, stored lossless;
+      HARDNEG  fresh pattern keyed by ordinal, same caption as src;
+      SKEW     the constant black 64x64 PNG.
+    """
     image_id = f"img_{ordinal:08d}"
     if plan_kind == KIND_SKEW:
-        data = encode_image(_skew_pixels(), "png")
-        caption = ""
-        out_fmt = "png"
+        px = _skew_pixels()
+        data = encode_image(px, "png")
+        return {"image_id": image_id, "bytes": data,
+                "w": px.shape[1], "h": px.shape[0], "fmt": "png",
+                "caption": "", "phash": phash64(px)}
+
+    base_key = src
+    words = _caption_words(src, seed, vocab)
+    caption = " ".join(words)
+    src_fmt = _base_fmt(src, seed)
+    out_fmt, final_fmt, final_q = src_fmt, src_fmt, 92
+    pre_steps: "list[int]" = []   # decode(encode(...)) quantize chain
+    perturb = None
+    if plan_kind in (KIND_BASE, KIND_EXACT):
+        pass
+    elif plan_kind == KIND_REENC:
+        if src_fmt in LOSSY_FMTS:
+            pre_steps = [_quant_step(92)]
+        out_fmt = final_fmt = "jpeg"
+        final_q = 90 if src_fmt == "jpeg" else 92
+    elif plan_kind == KIND_NEARDUP:
+        if src_fmt in LOSSY_FMTS:
+            pre_steps = [_quant_step(92)]
+        out_fmt = final_fmt = "png"
+        perturb = True
+    elif plan_kind == KIND_SUBDUP:
+        # identical bytes; caption becomes a strict superstring
+        rng = np.random.default_rng((seed << 24) ^ ordinal)
+        extra = [vocab[i] for i in rng.integers(0, VOCAB_SIZE, 3)]
+        caption = " ".join(words + extra)
+    elif plan_kind == KIND_HARDNEG:
+        base_key = ordinal + 10_000_019
+        out_fmt = final_fmt = "png"
     else:
-        px = _base_pixels(src, seed, size_scale)
-        words = _caption_words(src, seed, vocab)
-        caption = " ".join(words)
-        src_fmt = _base_fmt(src, seed)
-        out_fmt = src_fmt
-        if plan_kind in (KIND_BASE, KIND_EXACT):
-            data = encode_image(px, src_fmt, quality=92)
-        elif plan_kind == KIND_REENC:
-            # re-encode the DECODED pixels: PNG src -> JPEG q92,
-            # JPEG src -> JPEG q90 (FIXTURES.md; PSNR stays >= 40 dB)
-            decoded = decode_image(encode_image(px, src_fmt, quality=92))
-            q = 90 if src_fmt == "jpeg" else 92
-            data = encode_image(decoded, "jpeg", quality=q)
-            out_fmt = "jpeg"
-        elif plan_kind == KIND_NEARDUP:
-            rng = np.random.default_rng((seed << 23) ^ ordinal)
-            decoded = decode_image(encode_image(px, src_fmt, quality=92))
-            flat = decoded.reshape(-1).astype(np.int16)
-            n_perturb = max(1, int(flat.size * 0.02))
-            pos = rng.choice(flat.size, n_perturb, replace=False)
-            flat[pos] += rng.choice(np.array([-1, 1], dtype=np.int16),
-                                    n_perturb)
-            decoded = np.clip(flat, 0, 255).astype(np.uint8).reshape(
-                decoded.shape)
-            data = encode_image(decoded, "png")
-            out_fmt = "png"
-        elif plan_kind == KIND_SUBDUP:
-            # identical bytes; caption becomes a strict superstring
-            data = encode_image(px, src_fmt, quality=92)
-            rng = np.random.default_rng((seed << 24) ^ ordinal)
-            extra = [vocab[i] for i in rng.integers(0, VOCAB_SIZE, 3)]
-            caption = " ".join(words + extra)
-        elif plan_kind == KIND_HARDNEG:
-            # same caption, DIFFERENT image (fresh pattern keyed by ordinal)
-            px = _base_pixels(ordinal + 10_000_019, seed, size_scale)
-            data = encode_image(px, "png")
-            out_fmt = "png"
-        else:
-            raise ValueError(plan_kind)
-    decoded_final = decode_image(data)
+        raise ValueError(plan_kind)
+
+    w, h, chans = _synth_params(base_key, seed, size_scale)
+    if perturb:
+        pos, sign = _neardup_perturbation(ordinal, seed, h * w * 3)
+    enc = StreamEncoder(w, h, final_fmt, quality=final_q)
+    pool = PooledGrayAccumulator(w, h, grid=32)
+    for r0 in range(0, h, _BAND_ROWS):
+        band = _synth_band(base_key, seed, w, chans, r0,
+                           min(r0 + _BAND_ROWS, h))
+        for step in pre_steps:
+            band = np.clip((band.astype(np.int32) // step) * step
+                           + step // 2, 0, 255).astype(np.uint8)
+        if perturb:
+            band = _perturb_band(band, pos, sign, w, r0)
+        band_q = enc.quantize(band)   # == decode_image(bytes) values
+        enc.feed_quantized(band_q)
+        pool.feed(r0, band_q)
     return {
         "image_id": image_id,
-        "bytes": data,
-        "w": int(decoded_final.shape[1]),
-        "h": int(decoded_final.shape[0]),
+        "bytes": enc.finish(),
+        "w": w,
+        "h": h,
         "fmt": out_fmt,
         "caption": caption,
-        "phash": phash64(decoded_final),
+        "phash": phash64_from_pooled(pool.result()),
     }
 
 

@@ -87,31 +87,44 @@ def explode_simhash_bands(signatures: DataFrame, simhash_bands: int,
                     .alias("band_id"), "band_hash", "image_id"))
 
 
-def explode_phash_bands(signatures: DataFrame, phash_bands: int = 4,
+def explode_phash_bands(signatures: DataFrame, phash_chunks: int = 8,
+                        phash_combo: int = 4,
                         band_id_offset: int = 2000) -> DataFrame:
-    """phash -> (band_id, band_hash, image_id) by chunk-PAIR equality
-    (C(4,2)=6 bands of 2x16=32-bit keys).
+    """phash -> (band_id, band_hash, image_id) by chunk-COMBO equality
+    (default: C(8,4)=70 bands keyed on 4x8=32-bit chunk quads).
 
-    Covers the regime MinHash is weakest in: a re-encode that flips ~2
-    phash bits drops shingle Jaccard to ~0.6 where 16x8-band detection
-    is only ~24%, but 2 flips damage at most 2 of 4 chunks, leaving an
-    intact chunk pair => exact Hamming<=2 coverage (3-4 flips are caught
-    probabilistically here plus by the MinHash/SimHash nets).  Single
-    16-bit chunks are unusable: phash bits are DCT-sign-structured and
-    heavily correlated across images, and the 2^16 keyspace produced
-    ~1.7M junk pairs at 188k rows; 32-bit pair keys push collisions down
-    by the second chunk's entropy, and what remains is absorbed by
-    salting + star policy + the phash prefilter.
+    Covers the regime MinHash is weakest in: the lossy re-encode.  The
+    guarantee is pigeonhole: k flipped bits damage at most k of the
+    ``phash_chunks`` chunks, so any pair within Hamming distance
+    (phash_chunks - phash_combo) keeps >= phash_combo intact chunks and
+    matches the combo band made of them — with the defaults, EXACT
+    Hamming<=4 coverage.  That radius is chosen to cover the verifiable
+    envelope, not just the common case: under this codec the entire
+    PSNR>=40 dB re-encode range (q>=85) flips at most ~4 phash bits
+    (measured: q92 flips <=2, q85 flips <=4), so every pair the verify
+    stage could accept is GUARANTEED a phash band candidate.  (Round 2
+    used C(4,2) 16-bit-chunk pairs — Hamming<=2 guaranteed — and a q85
+    re-encode at Hamming 4 could slip the net; the adversarial
+    re-encode+truncation test now pins the stronger radius.)
+
+    Key entropy is unchanged (32 banded bits per key, now 4x8 instead of
+    2x16): single 8/16-bit chunks are unusable as keys — phash bits are
+    DCT-sign-structured and correlated across images (~1.7M junk pairs
+    at 188k rows in round 1) — while 32-bit keys push random collisions
+    to O(n^2/2^32) and the structured remainder is absorbed by salting,
+    the star policy and the tighter phash-src prefilter.  Cost: 70 band
+    rows/row vs 6 — narrow ints, bounded by the same bucket policies;
+    the per-round bench gates the regression.
     """
-    width = 64 // phash_bands
+    width = 64 // phash_chunks
     mask = (1 << width) - 1
     chunk = [F.shiftright(F.col("phash"), b * width).bitwiseAND(
-        F.lit(mask)) for b in range(phash_bands)]
+        F.lit(mask)) for b in range(phash_chunks)]
+    from itertools import combinations
     combos = []
-    for i in range(phash_bands):
-        for j in range(i + 1, phash_bands):
-            combos.append(F.xxhash64(F.lit(band_id_offset + len(combos)),
-                                     chunk[i], chunk[j]))
+    for sel in combinations(range(phash_chunks), phash_combo):
+        combos.append(F.xxhash64(F.lit(band_id_offset + len(combos)),
+                                 *[chunk[i] for i in sel]))
     return (signatures
             .select("image_id",
                     F.posexplode(F.array(*combos))
@@ -190,17 +203,23 @@ def salt_hot_buckets(bands_df: DataFrame, hot_threshold: int,
             .select("band_id", "band_hash", "salt", "image_id"))
 
 
-def _chunk_pair_hashes(col: str, n_chunks: int, offset: int) -> "list":
+def _chunk_combo_hashes(col: str, n_chunks: int, r: int,
+                        offset: int) -> "list":
+    """All C(n_chunks, r) chunk-combination band hashes of a 64-bit col."""
+    from itertools import combinations
     width = 64 // n_chunks
     mask = (1 << width) - 1
     chunk = [F.shiftright(F.col(col), b * width).bitwiseAND(F.lit(mask))
              for b in range(n_chunks)]
     combos = []
-    for i in range(n_chunks):
-        for j in range(i + 1, n_chunks):
-            combos.append(F.xxhash64(F.lit(offset + len(combos)),
-                                     chunk[i], chunk[j]))
+    for sel in combinations(range(n_chunks), r):
+        combos.append(F.xxhash64(F.lit(offset + len(combos)),
+                                 *[chunk[i] for i in sel]))
     return combos
+
+
+def _chunk_pair_hashes(col: str, n_chunks: int, offset: int) -> "list":
+    return _chunk_combo_hashes(col, n_chunks, 2, offset)
 
 
 def explode_all_bands(signatures: DataFrame, cfg) -> DataFrame:
@@ -219,13 +238,15 @@ def explode_all_bands(signatures: DataFrame, cfg) -> DataFrame:
         verifiable near-dup class except caption-substring shares its
         normalized caption — junk is just same-caption hard negatives,
         killed by the phash prefilter before any decode,
-      * phash chunk-PAIR bands over ALL rows: the only net with
-        GUARANTEED Hamming<=2 coverage of the re-encode regime (a lossy
-        re-encode at PSNR 40-43 dB flips 1-2 phash bits but 40-60
-        pixel-simhash bits, and a simultaneously TRUNCATED caption kills
-        the caption band and halves minhash J — the adversarial case in
+      * phash chunk-QUAD bands over ALL rows (C(8,4)=70, 32-bit keys):
+        the only net with GUARANTEED coverage of the re-encode regime —
+        Hamming<=4 exact, which spans the codec's whole PSNR>=40 dB
+        envelope (q85 flips up to 4 phash bits but 40-60 pixel-simhash
+        bits, and a simultaneously TRUNCATED caption kills the caption
+        band and halves minhash J — the adversarial case in
         tests/test_suffix_array.py).  Junk cost is bounded by 32-bit
-        pair keys, salting, the star policy, and the src-aware prefilter.
+        combo keys, salting, the star policy, and the src-aware
+        prefilter.
 
     ONE explode instead of a 4-way union: the union form scans the
     signatures input once PER FAMILY per pass (8 scans across the stats
@@ -248,8 +269,9 @@ def explode_all_bands(signatures: DataFrame, cfg) -> DataFrame:
         entries.append(F.struct(
             F.lit(SIMHASH_BAND_ID_OFFSET + i).alias("band_id"),
             h.alias("band_hash")))
-    for i, h in enumerate(_chunk_pair_hashes("phash", cfg.phash_bands,
-                                             PHASH_BAND_ID_OFFSET)):
+    for i, h in enumerate(_chunk_combo_hashes("phash", cfg.phash_chunks,
+                                              cfg.phash_combo,
+                                              PHASH_BAND_ID_OFFSET)):
         entries.append(F.struct(
             F.lit(PHASH_BAND_ID_OFFSET + i).alias("band_id"),
             h.alias("band_hash")))

@@ -23,6 +23,15 @@ Execution shape (100 TB-minded):
 * Per-query ranking is one shuffle on query_id (window top-k).  Junk
   candidates from hot buckets die on the JVM phash prefilter before
   the signatures join, the same two-phase shape as the verify stage.
+
+Merit equivalence (gsearch ``src/matcher.rs:144-277``): the reference's
+matcher ranks request answers by a log-space PRODUCT of per-part
+distances because one genome arrives as many sequence parts.  Our items
+are single-part (one image per row), so the merit product degenerates
+to the single sketch distance — the window top-k below IS the
+merit-ranked answer list.  The generic multi-part log-space product is
+implemented (and DuckDB-oracled) as the ``merit_product`` query in
+``operators/relational.py`` for tables that do have parts.
 """
 
 from __future__ import annotations

@@ -17,11 +17,12 @@ job, not this pass's.
 
 COVERAGE CONTRACT: this pass catches substring-caption dups with
 IDENTICAL pixels (same phash).  A pair that is BOTH lossy-re-encoded
-(phash flips 1-2 bits) AND caption-truncated lands in different phash
-groups and is NOT this pass's job — it is caught by the phash
-chunk-pair band net (exact Hamming <= 2 coverage over ALL rows, see
-banding.explode_phash_bands), and verify's substring rule then accepts
-the pair.  tests/test_suffix_array.py::
+(phash flips up to ~4 bits inside the PSNR>=40 envelope) AND
+caption-truncated lands in different phash groups and is NOT this
+pass's job — it is caught by the phash chunk-QUAD band net (exact
+Hamming <= 4 coverage over ALL rows, see banding.explode_phash_bands),
+and verify's substring rule then accepts the pair.
+tests/test_suffix_array.py::
 test_reencode_plus_truncation_caught_by_phash_net proves it end-to-end
 with an adversarial fixture.
 

@@ -47,13 +47,14 @@ def _pool_to(gray: np.ndarray, n: int) -> np.ndarray:
     return box / area
 
 
-def phash64(pixels: np.ndarray) -> int:
-    """64-bit perceptual hash of an (h, w, 3) uint8 image, as signed int64.
+def phash64_from_pooled(small: np.ndarray) -> int:
+    """pHash tail from an already-pooled (32, 32) luma grid.
 
-    Signed so it round-trips through Spark/parquet BIGINT unchanged.
+    Split out so the band-streaming fixture generator can accumulate the
+    pooled grid incrementally (codec.PooledGrayAccumulator) and never
+    materialize the full image; the DCT/median/threshold tail is shared
+    with :func:`phash64`.
     """
-    gray = to_gray(pixels)
-    small = _pool_to(gray, _DCT_N)
     freq = _DCT_M @ small @ _DCT_M.T
     block = freq[:_LOW, :_LOW].copy().ravel()
     block[0] = 0.0  # drop DC
@@ -64,6 +65,14 @@ def phash64(pixels: np.ndarray) -> int:
         for i in range(64):
             h |= bits[i] << np.uint64(i)
     return int(h.astype(np.int64))
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit perceptual hash of an (h, w, 3) uint8 image, as signed int64.
+
+    Signed so it round-trips through Spark/parquet BIGINT unchanged.
+    """
+    return phash64_from_pooled(_pool_to(to_gray(pixels), _DCT_N))
 
 
 def phash_bit_shingles(phash: np.ndarray, width: int, seed: int = 0

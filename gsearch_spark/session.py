@@ -8,12 +8,24 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app: str = "gsearch_spark", cores: int | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              master: str | None = None,
+              extra_conf: "dict[str, str] | None" = None) -> SparkSession:
+    """``master`` overrides the default ``local[cores]`` — used by the
+    scaling bench's multi-JVM arm (``local-cluster[n,cores,mem]``), which
+    runs real separate executor JVMs communicating over the block
+    transfer service, the closest single-host model of a multi-executor
+    cluster.  ``extra_conf`` lets that arm ship the package to executor
+    python workers (the spark-submit --py-files analog) — local mode
+    inherits the driver's sys.path, separate executor JVMs do not."""
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle = shuffle_partitions or cores
+    builder = SparkSession.builder
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return (
-        SparkSession.builder
-        .master(f"local[{cores}]")
+        builder
+        .master(master or f"local[{cores}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
