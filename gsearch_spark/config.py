@@ -51,11 +51,18 @@ class PipelineConfig:
     hot_band_threshold: int = 64     # band sizes above this get salted
     hot_stats_sample_mod: int = 4    # hot detection over a 1/k id sample
     simhash_bands: int = 4           # simhash chunks; keys are chunk PAIRS
-    # phash chunk-combo bands: C(chunks, combo) bands keyed on the combo's
-    # chunks; guarantees Hamming <= (chunks - combo) coverage = 4 by
-    # default, the full PSNR>=40 re-encode envelope of the codec
-    phash_chunks: int = 8
-    phash_combo: int = 4
+    # phash chunk-combo bands: C(chunks, combo) bands keyed on each
+    # combo's concatenated chunks; pigeonhole guarantees exact Hamming <=
+    # (chunks - combo) candidate coverage.  Default 4/2 (6 bands of 2x16
+    # bits, Hamming<=2 exact) — the scale-tuned setting: 8/4 widens the
+    # guarantee to Hamming<=4 (the codec's entire PSNR>=40 re-encode
+    # envelope) but costs C(8,4)=70 bands and ~3x the candidate volume
+    # (measured: flat band shuffle 41->? s, pairs 0.6M->2.0M at 200k
+    # rows), which is the wrong default on the 10^12-row hot path where
+    # probabilistic coverage above Hamming 2 suffices for recall>=0.99.
+    # tests/test_suffix_array.py pins BOTH radii end-to-end.
+    phash_chunks: int = 4
+    phash_combo: int = 2
     prefilter_max_phash_hamming: int = 20  # metadata prefilter bound
     prefilter_max_phash_hamming_phash_src: int = 8  # phash-band-only pairs
     # --- verification (BASELINE.json input_hint invariant)

@@ -87,34 +87,32 @@ def explode_simhash_bands(signatures: DataFrame, simhash_bands: int,
                     .alias("band_id"), "band_hash", "image_id"))
 
 
-def explode_phash_bands(signatures: DataFrame, phash_chunks: int = 8,
-                        phash_combo: int = 4,
+def explode_phash_bands(signatures: DataFrame, phash_chunks: int = 4,
+                        phash_combo: int = 2,
                         band_id_offset: int = 2000) -> DataFrame:
     """phash -> (band_id, band_hash, image_id) by chunk-COMBO equality
-    (default: C(8,4)=70 bands keyed on 4x8=32-bit chunk quads).
+    (default: C(4,2)=6 bands keyed on 2x16=32-bit chunk pairs).
 
     Covers the regime MinHash is weakest in: the lossy re-encode.  The
     guarantee is pigeonhole: k flipped bits damage at most k of the
     ``phash_chunks`` chunks, so any pair within Hamming distance
     (phash_chunks - phash_combo) keeps >= phash_combo intact chunks and
-    matches the combo band made of them — with the defaults, EXACT
-    Hamming<=4 coverage.  That radius is chosen to cover the verifiable
-    envelope, not just the common case: under this codec the entire
-    PSNR>=40 dB re-encode range (q>=85) flips at most ~4 phash bits
-    (measured: q92 flips <=2, q85 flips <=4), so every pair the verify
-    stage could accept is GUARANTEED a phash band candidate.  (Round 2
-    used C(4,2) 16-bit-chunk pairs — Hamming<=2 guaranteed — and a q85
-    re-encode at Hamming 4 could slip the net; the adversarial
-    re-encode+truncation test now pins the stronger radius.)
+    matches the combo band made of them — EXACT Hamming<=2 coverage by
+    default; cfg (phash_chunks=8, phash_combo=4) widens it to EXACT
+    Hamming<=4, the codec's whole PSNR>=40 envelope (q85 flips up to 4
+    bits), at C(8,4)=70 bands and ~3x candidate volume.  The radius is a
+    deliberate config knob, not a hardcode: guaranteeing Hamming<=4 from
+    64 bits REQUIRES either >=5 near-disjoint (hence <=12-bit, junk-
+    flooded) keys or combinatorially many strong keys — pigeonhole bit
+    budget — so the wide radius is priced for when a corpus needs it,
+    and the default stays cheap on the 10^12-row hot path where
+    probabilistic coverage above Hamming 2 suffices for recall>=0.99.
 
-    Key entropy is unchanged (32 banded bits per key, now 4x8 instead of
-    2x16): single 8/16-bit chunks are unusable as keys — phash bits are
+    Single 16-bit chunks are NOT usable as keys at scale: phash bits are
     DCT-sign-structured and correlated across images (~1.7M junk pairs
-    at 188k rows in round 1) — while 32-bit keys push random collisions
-    to O(n^2/2^32) and the structured remainder is absorbed by salting,
-    the star policy and the tighter phash-src prefilter.  Cost: 70 band
-    rows/row vs 6 — narrow ints, bounded by the same bucket policies;
-    the per-round bench gates the regression.
+    at 188k rows in round 1); 32-bit combo keys push random collisions
+    to O(n^2/2^32), and the structured remainder is absorbed by salting,
+    the star policy and the tighter phash-src prefilter.
     """
     width = 64 // phash_chunks
     mask = (1 << width) - 1
@@ -238,15 +236,15 @@ def explode_all_bands(signatures: DataFrame, cfg) -> DataFrame:
         verifiable near-dup class except caption-substring shares its
         normalized caption — junk is just same-caption hard negatives,
         killed by the phash prefilter before any decode,
-      * phash chunk-QUAD bands over ALL rows (C(8,4)=70, 32-bit keys):
-        the only net with GUARANTEED coverage of the re-encode regime —
-        Hamming<=4 exact, which spans the codec's whole PSNR>=40 dB
-        envelope (q85 flips up to 4 phash bits but 40-60 pixel-simhash
-        bits, and a simultaneously TRUNCATED caption kills the caption
-        band and halves minhash J — the adversarial case in
-        tests/test_suffix_array.py).  Junk cost is bounded by 32-bit
-        combo keys, salting, the star policy, and the src-aware
-        prefilter.
+      * phash chunk-COMBO bands over ALL rows (default C(4,2) pairs,
+        32-bit keys): the only net with GUARANTEED coverage of the
+        re-encode regime — exact Hamming <= (phash_chunks - phash_combo)
+        (a lossy re-encode flips a few phash bits but 40-60
+        pixel-simhash bits, and a simultaneously TRUNCATED caption kills
+        the caption band and halves minhash J — the adversarial case in
+        tests/test_suffix_array.py; cfg 8/4 widens the radius to 4 at
+        ~3x candidate cost).  Junk cost is bounded by 32-bit combo keys,
+        salting, the star policy, and the src-aware prefilter.
 
     ONE explode instead of a 4-way union: the union form scans the
     signatures input once PER FAMILY per pass (8 scans across the stats

@@ -17,14 +17,14 @@ job, not this pass's.
 
 COVERAGE CONTRACT: this pass catches substring-caption dups with
 IDENTICAL pixels (same phash).  A pair that is BOTH lossy-re-encoded
-(phash flips up to ~4 bits inside the PSNR>=40 envelope) AND
-caption-truncated lands in different phash groups and is NOT this
-pass's job — it is caught by the phash chunk-QUAD band net (exact
-Hamming <= 4 coverage over ALL rows, see banding.explode_phash_bands),
-and verify's substring rule then accepts the pair.
-tests/test_suffix_array.py::
-test_reencode_plus_truncation_caught_by_phash_net proves it end-to-end
-with an adversarial fixture.
+(phash flips bits) AND caption-truncated lands in different phash
+groups and is NOT this pass's job — it is caught by the phash
+chunk-COMBO band net (exact Hamming <= phash_chunks - phash_combo over
+ALL rows: 2 by default, 4 with the wide-radius config — see
+banding.explode_phash_bands), and verify's substring rule then accepts
+the pair.  tests/test_suffix_array.py::
+test_reencode_plus_truncation_caught_by_phash_net proves BOTH radii
+end-to-end with an adversarial fixture.
 
 Within a group, images sharing the same caption value are represented by
 their minimum image_id — identical (pixels, caption) rows are already

@@ -67,10 +67,13 @@ def test_add_work_is_o_new_not_o_corpus(spark, small_fixture_dir):
     n_new = state["add_exact_groups"]          # one row per added image
     assert 0 < n_new < n_total * 0.3
     # sketch/band deltas are bounded by the new slice (reps <= new rows;
-    # <= 93 band rows per rep: 16 minhash + 6 simhash + C(8,4)=70 phash
-    # chunk-quads + caption)
+    # bands/row = minhash bands + simhash chunk pairs + phash chunk
+    # combos + caption band, from the config)
+    import math
+    per_row = (CFG.bands + math.comb(CFG.simhash_bands, 2)
+               + math.comb(CFG.phash_chunks, CFG.phash_combo) + 1)
     assert state["add_signatures"] <= n_new
-    assert state["add_bands"] <= n_new * 93
+    assert state["add_bands"] <= n_new * per_row
     # and strictly below what a full re-band would have produced
     assert state["add_bands"] < state["bands"]
 
