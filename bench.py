@@ -121,6 +121,25 @@ def main() -> None:
         req_times.append(round(time.time() - t0, 3))
     queries["request_topk"] = min(req_times)
 
+    # ---- append-only add: insert ~1% genuinely-new rows into the build --
+    # (same pixels as existing rows, new captions => new content keys, so
+    # the full add path runs: sketch new reps, probe stored bands, verify
+    # new-touching pairs, CC over stored ∪ new edges.  Run once — the add
+    # mutates the checkpoint, and a repeat would be an id clash.)
+    from gsearch_spark.operators.pipeline import incremental_add
+    new_imgs = (images
+                .filter(F.pmod(F.xxhash64("image_id"), F.lit(97)) == 0)
+                .select(F.concat(F.lit("a_"), F.col("image_id"))
+                        .alias("image_id"), "bytes", "w", "h", "fmt",
+                        F.concat(F.col("caption"), F.lit(" appended"))
+                        .alias("caption"), "phash"))
+    n_add = new_imgs.count()
+    t0 = time.time()
+    incremental_add(spark, cfg, ckpt, new_imgs,
+                    images.unionByName(new_imgs)).write.format(
+        "noop").mode("overwrite").save()
+    queries["incremental_add"] = round(time.time() - t0, 3)
+
     # ---- representative driver-table queries -----------------------------
     qmap = entrymod.queries()
     for name in DOC_QUERIES:
@@ -154,6 +173,10 @@ def main() -> None:
         "probes_per_sec_request": round(
             n_probes / queries["request_topk"], 1)
         if queries.get("request_topk") else None,
+        "n_added": n_add,
+        "adds_per_sec_incremental": round(
+            n_add / queries["incremental_add"], 1)
+        if queries.get("incremental_add") else None,
     }
     spark.stop()
     print(json.dumps(out))

@@ -102,6 +102,33 @@ def test_incremental_add_two_steps_interleaved(spark, small_fixture_dir):
     assert added == full
 
 
+def test_incremental_add_pure_duplicates(spark, small_fixture_dir):
+    """Adding EXACT copies of existing content (same bytes+caption, new
+    ids) must cost zero sketch/band work — every new row matches a stored
+    content key and joins its group as a member (rank continuation), and
+    clusters match a full rebuild (labels re-normalize to the new min
+    member when the new id sorts first)."""
+    images = spark.read.parquet(f"{small_fixture_dir}/images.parquet")
+    dup = (images.limit(25)
+           .selectExpr("concat('a_', image_id) AS image_id", "bytes", "w",
+                       "h", "fmt", "caption", "phash"))
+    both = images.unionByName(dup)
+    ckpt = "/tmp/gsearch_spark_ckpt_puredup"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    NearDupPipeline(spark, CFG, ckpt).run(images, resume=False)
+    added = _assign(incremental_add(spark, CFG, ckpt, dup, both))
+
+    state = _state_rows(spark, ckpt)
+    # empty stages write no per-partition state rows => absent key == 0
+    assert state.get("add_signatures", 0) == 0  # zero new reps sketched
+    assert state.get("add_bands", 0) == 0
+
+    shutil.rmtree(CKPT_FULL, ignore_errors=True)
+    full = _assign(NearDupPipeline(spark, CFG, CKPT_FULL).run(
+        both, resume=False))
+    assert added == full
+
+
 def test_incremental_add_refuses_other_config(spark, small_fixture_dir):
     import dataclasses
     images = spark.read.parquet(f"{small_fixture_dir}/images.parquet")
