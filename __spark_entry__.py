@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine_topk": ann.q_knn_cosine_topk,
         "ann_lsh_buckets": ann.q_ann_lsh_buckets,
         "ann_lsh_topk": ann.q_ann_lsh_topk,
+        "embedding_cosine_pairs": ann.q_embedding_cosine_pairs,
         # relational operator analogs (SURVEY §2 F/G/O/C)
         "scan_filter_project": relational.q_scan_filter_project,
         "rollup_lineitem": relational.q_rollup_lineitem,
@@ -239,6 +240,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine_topk": ann.SQL_KNN_COSINE_TOPK,
         "ann_lsh_buckets": ann.SQL_ANN_LSH_BUCKETS,
         "ann_lsh_topk": ann.SQL_ANN_LSH_TOPK,
+        "embedding_cosine_pairs": ann.SQL_EMBEDDING_COSINE_PAIRS,
         "scan_filter_project": relational.SQL_SCAN_FILTER_PROJECT,
         "rollup_lineitem": relational.SQL_ROLLUP_LINEITEM,
         "topk_orders_per_customer": relational.SQL_TOPK_ORDERS_PER_CUSTOMER,

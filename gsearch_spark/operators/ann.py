@@ -122,18 +122,14 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
-def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN retrieval completion (reference ``src/dna/dnarequest.rs:349-364``
-    semantics): banded multi-table probing — {N_TABLES} independent
-    sign-projection tables of {N_PROJ} bits; same-bucket vectors in ANY
-    table become candidates; exact cosine ranks per-query top-k.
+DUP_COS_MIN = 0.35  # threshold for the embedding near-dup pair operator
 
-    Scale shape: pairwise work is per bucket (equi-join on (table,
-    bucket)), never global; ranking is one shuffle on vec_id.  This is
-    the embeddings-table twin of the image pipeline's band join.
-    """
-    _register(spark, sf_dir)
-    return spark.sql(f"""
+
+def _spark_emb_scored_cte() -> str:
+    """Shared Spark CTE chain: embeddings -> LSH buckets -> candidate
+    pairs -> exact cosine (``scored``).  Used by both the top-k retrieval
+    query and the threshold near-dup pair query."""
+    return f"""
       WITH v AS (
         SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS e
         FROM embeddings
@@ -178,8 +174,23 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cands c
         JOIN norms a ON a.vec_id = c.vec_id
         JOIN norms b ON b.vec_id = c.nbr_id
-      ),
-      ranked AS (
+      )
+    """
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN retrieval completion (reference ``src/dna/dnarequest.rs:349-364``
+    semantics): banded multi-table probing — N_TABLES independent
+    sign-projection tables of N_PROJ bits; same-bucket vectors in ANY
+    table become candidates; exact cosine ranks per-query top-k.
+
+    Scale shape: pairwise work is per bucket (equi-join on (table,
+    bucket)), never global; ranking is one shuffle on vec_id.  This is
+    the embeddings-table twin of the image pipeline's band join.
+    """
+    _register(spark, sf_dir)
+    return spark.sql(_spark_emb_scored_cte() + f"""
+      , ranked AS (
         SELECT vec_id, nbr_id, cos_sim,
                row_number() OVER (PARTITION BY vec_id
                                   ORDER BY cos_sim DESC, nbr_id) AS rank
@@ -190,7 +201,28 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
-SQL_ANN_LSH_TOPK = f"""
+def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup DEDUP shape (vs the per-query top-k
+    above): canonical a<b PAIRS whose exact cosine clears a threshold,
+    candidates drawn from the same multi-table sign-projection buckets —
+    the embeddings twin of the image pipeline's band->verify->edges flow
+    (emit symmetric edges for CC, not per-query answers).
+
+    The synthetic embeddings table plants no high-cosine duplicates
+    (global max ~0.51), so the threshold sits at the table's top
+    percentile ({DUP_COS_MIN}); the gated semantics are the operator's —
+    bucket-candidate generation, exact re-check, canonical ordering —
+    not the knob value, which a real corpus would set near 0.95.
+    """
+    _register(spark, sf_dir)
+    return spark.sql(_spark_emb_scored_cte() + f"""
+      SELECT vec_id AS a, nbr_id AS b, cos_sim
+      FROM scored
+      WHERE vec_id < nbr_id AND cos_sim >= {DUP_COS_MIN}
+    """)
+
+
+_DUCK_EMB_SCORED_CTE = f"""
   WITH v AS (
     SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
     FROM embeddings
@@ -230,8 +262,11 @@ SQL_ANN_LSH_TOPK = f"""
     FROM cands c
     JOIN norms a ON a.vec_id = c.vec_id
     JOIN norms b ON b.vec_id = c.nbr_id
-  ),
-  ranked AS (
+  )
+"""
+
+SQL_ANN_LSH_TOPK = _DUCK_EMB_SCORED_CTE + f"""
+  , ranked AS (
     SELECT vec_id, nbr_id, cos_sim,
            row_number() OVER (PARTITION BY vec_id
                               ORDER BY cos_sim DESC, nbr_id) AS rank
@@ -239,6 +274,12 @@ SQL_ANN_LSH_TOPK = f"""
   )
   SELECT vec_id, nbr_id, cos_sim, rank::INT AS rank
   FROM ranked WHERE rank <= {TOP_K}
+"""
+
+SQL_EMBEDDING_COSINE_PAIRS = _DUCK_EMB_SCORED_CTE + f"""
+  SELECT vec_id AS a, nbr_id AS b, cos_sim
+  FROM scored
+  WHERE vec_id < nbr_id AND cos_sim >= {DUP_COS_MIN}
 """
 
 

@@ -330,23 +330,35 @@ def incremental_add(spark: SparkSession, cfg: PipelineConfig,
     new_bands = stage("bands", build_bands(new_sigs, cfg))
 
     # -- candidates: new-vs-new ∪ new-vs-old ∪ touched suffix groups -----
-    nn_pairs = emit_bucket_pairs(new_bands)
+    # Each branch is cut with an eager localCheckpoint before the union:
+    # the branches build near-identical exchanges over the same staged
+    # inputs (bands keys), and Spark's AQE exchange reuse across union
+    # arms produced mismatched coalesced partitionings inside one
+    # codegen'd join ("Can't zip RDDs with unequal numbers of
+    # partitions", reproduced at 32 cores / 213k rows).  The cut
+    # materializes each (small) pair list independently; localCheckpoint,
+    # not persist — the documented plan-cache-over-rewritten-path
+    # pitfall.
+    nn_pairs = emit_bucket_pairs(new_bands).localCheckpoint()
     no_pairs = probe_pairs_vs_stored(explode_all_bands(new_sigs, cfg),
-                                     old_bands)
+                                     old_bands).localCheckpoint()
     all_rep_ids = (old_groups.unionByName(new_groups)
                    .filter(F.col("image_id") == F.col("rep_id"))
                    .select("image_id"))
     reps_imgs = (all_images.join(all_rep_ids, "image_id", "left_semi")
                  .select("phash", "image_id", "caption"))
     touched_ph = (to_sketch.select("phash").distinct())
+    # sfx feeds BOTH union arms below — cut it first, or the shared
+    # exchange under the two consumers trips the AQE reuse bug
     sfx = suffix_candidate_pairs(reps_imgs.join(touched_ph, "phash",
-                                                "left_semi"))
+                                                "left_semi")) \
+        .localCheckpoint()
     sfx_new = (sfx.join(new_rep_ids.withColumnRenamed("image_id", "a"),
                         "a", "left_semi")
                .unionByName(
                    sfx.join(new_rep_ids.withColumnRenamed("image_id", "b"),
                             "b", "left_semi"))
-               .dropDuplicates(["a", "b"]))
+               .dropDuplicates(["a", "b"])).localCheckpoint()
     new_pairs = stage("candidate_pairs",
                       nn_pairs.unionByName(no_pairs).unionByName(sfx_new)
                       .groupBy("a", "b").agg(F.min("src").alias("src")))
