@@ -129,6 +129,30 @@ def test_incremental_add_pure_duplicates(spark, small_fixture_dir):
     assert added == full
 
 
+def test_probe_pairs_heads_cap_bounds_hot_buckets(spark):
+    """The add path's skew guard: probing a viral stored bucket (m old
+    members) must emit at most heads_per_bucket pairs per new row — the
+    deterministic smallest-id heads — never O(m), while small buckets
+    pair in full."""
+    from gsearch_spark.operators.candidates import probe_pairs_vs_stored
+    stored = spark.createDataFrame(
+        [(1, 777, 0, f"old_{i:04d}") for i in range(100)]      # viral
+        + [(2, 888, 0, f"old_{i:04d}") for i in range(3)],     # small
+        schema="band_id int, band_hash bigint, salt int, image_id string")
+    probe = spark.createDataFrame(
+        [(1, 777, "new_a"), (2, 888, "new_a"), (1, 999, "new_b")],
+        schema="band_id int, band_hash bigint, image_id string")
+    pairs = probe_pairs_vs_stored(probe, stored, heads_per_bucket=16)
+    # canonical a<b ordering puts the new id on either side; re-orient
+    edges = {(min(p), max(p)): None for p in
+             ((r["a"], r["b"]) for r in pairs.collect())}
+    olds = {old for (new, old) in edges if new == "new_a"}
+    # 16 heads from the viral bucket + full 3 from the small bucket
+    assert len(olds) == 16
+    assert olds == {f"old_{i:04d}" for i in range(16)}  # smallest ids
+    assert all(new == "new_a" for new, _ in edges)  # new_b key unmatched
+
+
 def test_incremental_add_refuses_other_config(spark, small_fixture_dir):
     import dataclasses
     images = spark.read.parquet(f"{small_fixture_dir}/images.parquet")
