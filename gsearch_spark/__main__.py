@@ -120,7 +120,8 @@ def main(argv: "list[str] | None" = None) -> int:
     p.add_argument("-b", "--build-dir", required=True)
     p.add_argument("-s", "--sketch-size", type=int, default=128)
     p.add_argument("--algo", default="optdens",
-                   choices=("optdens", "revoptdens", "prob"))
+                   choices=("optdens", "revoptdens", "prob",
+                            "super", "super2"))
     p.add_argument("--bands", type=int, default=16)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no-resume", action="store_true")

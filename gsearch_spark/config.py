@@ -42,7 +42,9 @@ class PipelineConfig:
     pixel_block: int = 8             # SimHash pixel feature block size
     # --- signature (reference: --algo optdens, src/dna/dnasketch.rs:600-620)
     sketch_size: int = 128           # minhash slots (reference -s, <=65535)
-    algo: str = "optdens"            # optdens | revoptdens | prob (weighted)
+    # optdens | revoptdens | prob (weighted) | super | super2
+    # (SuperMinHash f32-bits / rehashed-integer variants)
+    algo: str = "optdens"
     simhash_bits: int = 64
     # --- LSH banding (replaces HNSW ef/nbng quality-cost knobs)
     bands: int = 16
@@ -96,7 +98,8 @@ class PipelineConfig:
                 f"bands*rows_per_band ({self.bands}*{self.rows_per_band}) "
                 f"must equal sketch_size ({self.sketch_size})"
             )
-        if self.algo not in ("optdens", "revoptdens", "prob"):
+        if self.algo not in ("optdens", "revoptdens", "prob",
+                             "super", "super2"):
             raise ValueError(f"unknown algo {self.algo!r}")
         if self.simhash_bits != 64:
             raise ValueError("only 64-bit simhash supported")

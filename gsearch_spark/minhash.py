@@ -75,6 +75,79 @@ def weighted_tokens(hashes: np.ndarray, row_ids: np.ndarray,
     return hash_pair_u64(h_s, occ, seed=seed ^ 0x9B0B), r_s
 
 
+def superminhash_batch(hashes: np.ndarray, row_ids: np.ndarray,
+                       n_rows: int, sketch_size: int, seed: int = 42,
+                       rehash: bool = False,
+                       chunk: int = 4096) -> np.ndarray:
+    """SuperMinHash (Ertl 2017) — the reference's ``--algo super`` /
+    ``super2`` sketchers (``SuperHashSketch`` / ``SuperHash2Sketch``,
+    gsearch ``src/aa/aasketch.rs:470-475``, request twins at
+    ``src/aa/aarequest.rs:435-452,564-583``).
+
+    Per element d and slot j: u_j(d) ~ U(0,1) and a uniform permutation
+    π(d) of {0..S-1} (realized as the rank of a second hash row — the
+    rank of iid uniforms IS a uniform permutation); the slot candidate is
+    a_j(d) = π_j(d) + u_j(d) and slot j keeps the minimum over elements.
+    The permutation couples the slots, which is the algorithm's point: it
+    lowers the estimator variance vs independent slot draws for small
+    sets, and NO slot is ever empty for a non-empty set, so there is no
+    densification walk at all.
+
+    Signature encoding (schema keeps array<bigint>): ``super`` stores the
+    IEEE-754 bit pattern of the winning float64 (values are positive and
+    finite, so bit equality == value equality; the reference stores the
+    f32 value itself and compares slots by equality, DistHamming).
+    ``rehash=True`` (= ``super2``) splitmix-rehashes that bit pattern
+    with the slot id into a uniform u64 — the ``SuperHash2Sketch`` shape,
+    whose integer signature is a hash determined by the winning element;
+    two rows agree on a slot iff the same element won it, identical
+    equality semantics to ``super`` up to 2^-64 hash collisions.
+
+    Estimator: J ≈ fraction of equal slots, like every other algo here.
+    Cost: O(|shingles| * S log S) — heavier than optdens (which is why
+    the reference's README recommends optdens and we default to it), and
+    chunked so the working set stays bounded.
+    """
+    S = sketch_size
+    slots = np.arange(S, dtype=_U64)
+    out = np.full((n_rows, S), np.inf, dtype=np.float64)
+    if len(hashes) > 0:
+        hashes = np.asarray(hashes, dtype=_U64)
+        row_ids = np.asarray(row_ids, dtype=np.int64)
+        order = np.argsort(row_ids, kind="stable")
+        hashes, row_ids = hashes[order], row_ids[order]
+        for i in range(0, len(hashes), chunk):
+            h = hashes[i:i + chunk]
+            r = row_ids[i:i + chunk]
+            c = len(h)
+            grid_h = np.broadcast_to(h[:, None], (c, S))
+            grid_s = np.broadcast_to(slots[None, :], (c, S))
+            with np.errstate(over="ignore"):
+                u = (hash_pair_u64(grid_h, grid_s, seed=seed ^ 0x50BA)
+                     .astype(np.float64) / float(2 ** 64))
+                keys = hash_pair_u64(grid_h, grid_s, seed=seed ^ 0x9A17)
+            pi = np.argsort(np.argsort(keys, axis=1), axis=1)
+            val = pi.astype(np.float64) + u
+            np.minimum.at(out, (np.broadcast_to(r[:, None], (c, S)),
+                                np.broadcast_to(np.arange(S)[None, :],
+                                                (c, S))), val)
+    sketch = np.ascontiguousarray(out).view(_U64).copy()
+    # rows with zero shingles -> the shared deterministic empty signature
+    empty_rows = np.all(np.isinf(out), axis=1)
+    if empty_rows.any():
+        fill = hash_u64(slots, seed=seed ^ 0xE3B0)
+        sketch[empty_rows] = fill[None, :]
+    if rehash:
+        live = ~empty_rows
+        if live.any():
+            with np.errstate(over="ignore"):
+                sketch[live] = hash_pair_u64(
+                    sketch[live],
+                    np.broadcast_to(slots[None, :], sketch[live].shape),
+                    seed=seed ^ 0x5E42)
+    return sketch
+
+
 def minhash_batch(hashes: np.ndarray, row_ids: np.ndarray, n_rows: int,
                   sketch_size: int, algo: str = "optdens",
                   seed: int = 42) -> np.ndarray:
@@ -91,6 +164,9 @@ def minhash_batch(hashes: np.ndarray, row_ids: np.ndarray, n_rows: int,
     (min over equal values).
     """
     S = sketch_size
+    if algo in ("super", "super2"):
+        return superminhash_batch(hashes, row_ids, n_rows, S, seed=seed,
+                                  rehash=(algo == "super2"))
     if algo == "prob" and len(hashes) > 0:
         hashes, row_ids = weighted_tokens(hashes, row_ids, seed=seed)
     sketch = np.full((n_rows, S), _EMPTY, dtype=_U64)

@@ -64,6 +64,57 @@ def test_decode_unknown_magic_raises():
         decode_image(b"\x89PNG\r\n\x1a\nnot-a-real-decoder")
 
 
+def test_superminhash_estimator_and_coupling():
+    """SuperMinHash (algo=super/super2): slot-agreement estimates J;
+    the two variants share the exact same agreement pattern (super2 is
+    an integer re-hash of the winning slot value); chunking never
+    changes the signature; empty sets share the common empty rule."""
+    from gsearch_spark.minhash import (minhash_batch, sketch_jaccard,
+                                       superminhash_batch)
+    rng = np.random.default_rng(5)
+    common = rng.integers(0, 2 ** 63, 120, dtype=np.uint64)
+    a_only = rng.integers(0, 2 ** 63, 120, dtype=np.uint64)
+    b_only = rng.integers(0, 2 ** 63, 120, dtype=np.uint64)
+    hashes = np.concatenate([common, a_only, common, b_only])
+    rows = np.repeat([0, 1], 240).astype(np.int64)
+    sk_s = minhash_batch(hashes, rows, 2, 128, algo="super", seed=42)
+    sk_2 = minhash_batch(hashes, rows, 2, 128, algo="super2", seed=42)
+    j = sketch_jaccard(sk_s[0], sk_s[1])
+    assert 0.18 < j < 0.5  # true J = 1/3
+    assert ((sk_s[0] == sk_s[1]) == (sk_2[0] == sk_2[1])).all()
+    assert (superminhash_batch(hashes, rows, 2, 128, seed=42, chunk=7)
+            == superminhash_batch(hashes, rows, 2, 128, seed=42)).all()
+    nil = np.array([], dtype=np.uint64)
+    nilr = np.array([], dtype=np.int64)
+    e_sup = minhash_batch(nil, nilr, 1, 128, algo="super", seed=42)
+    e_opt = minhash_batch(nil, nilr, 1, 128, algo="optdens", seed=42)
+    assert (e_sup == e_opt).all()
+
+
+def test_superminhash_spark_oracle_bitexact(spark, small_fixture_dir):
+    """algo=super through the Spark signature UDF == the numpy oracle,
+    bit for bit (the same shared-code contract as optdens)."""
+    import dataclasses
+    import pyarrow.parquet as pq
+    from gsearch_spark.config import PipelineConfig
+    from gsearch_spark.operators.signatures import compute_signatures
+    from gsearch_spark.oracle import oracle_minhash
+    cfg = dataclasses.replace(PipelineConfig(), algo="super")
+    rows = pq.read_table(
+        f"{small_fixture_dir}/images.parquet").to_pylist()[:60]
+    images = spark.createDataFrame(
+        [(r["image_id"], r["bytes"], r["caption"], r["phash"])
+         for r in rows],
+        "image_id string, bytes binary, caption string, phash bigint")
+    got = {r["image_id"]: np.array(r["minhash"], dtype=np.int64)
+           for r in compute_signatures(images.repartition(5), cfg).collect()}
+    ph = np.array([r["phash"] for r in rows], dtype=np.int64)
+    want = oracle_minhash(ph, [r["caption"] for r in rows],
+                          cfg).view(np.int64)
+    for i, r in enumerate(rows):
+        assert (got[r["image_id"]] == want[i]).all(), r["image_id"]
+
+
 def test_streaming_pooled_decode_matches_full():
     """decode_pooled_gray (L2-resident streaming path) must agree with
     full-decode + _pool_to to float tolerance on every container/size,
