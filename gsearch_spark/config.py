@@ -14,6 +14,7 @@ from __future__ import annotations
 import dataclasses
 import hashlib
 import json
+import math
 import os
 from dataclasses import dataclass
 
@@ -109,6 +110,17 @@ class PipelineConfig:
                 1 <= self.phash_combo <= self.phash_chunks):
             raise ValueError("phash_chunks must divide 64 and "
                              "1 <= phash_combo <= phash_chunks")
+        # combo band ids live in [PHASH_BAND_OFFSET, CAPTION_BAND_OFFSET)
+        # = [2000, 3000) (operators/candidates.py); more combos than that
+        # window would silently collide with the caption band id space and
+        # mis-tag band_src, so refuse up front
+        if math.comb(self.phash_chunks, self.phash_combo) >= 1000:
+            raise ValueError(
+                f"C(phash_chunks={self.phash_chunks}, "
+                f"phash_combo={self.phash_combo}) = "
+                f"{math.comb(self.phash_chunks, self.phash_combo)} combo "
+                "bands >= 1000 would overflow the phash band-id window "
+                "[2000, 3000) into the caption band ids")
         if self.verify_attach not in ("auto", "broadcast", "shuffle"):
             raise ValueError(f"unknown verify_attach {self.verify_attach!r}")
 

@@ -93,17 +93,34 @@ def probe_pairs_vs_stored(new_exploded: DataFrame, stored_bands: DataFrame,
     the quadratic blow-up salting killed.  So the stored side is first
     pruned to TOUCHED buckets (semi join on the new slice's keys — only
     buckets a new row can land in are ever read past the scan), then cut
-    to the ``heads_per_bucket`` smallest image_ids per bucket (window
-    row_number, spillable — no driver collect, no giant collect_set).
+    to ``heads_per_bucket`` members per bucket (window row_number,
+    spillable — no driver collect, no giant collect_set).  Heads are
+    picked in xxhash64(image_id) order, NOT lexicographic: appended ids
+    often sort before (or after) the original corpus's ids wholesale, so
+    id order would systematically bias heads toward one append
+    generation; hash order is deterministic but generation-blind (ties
+    broken by id for full determinism).
     Connectivity only needs one verified edge into the bucket's existing
     cluster; the heads give ``heads_per_bucket`` independent verify shots,
     the same budget the build-time star policy grants (ALL_PAIRS_MAX),
     and every band family contributes its own heads.
+
+    RECALL CAVEAT (probabilistic, like the star policy): a new duplicate
+    whose only co-bucketed true match sits outside the heads in EVERY
+    band family gets no edge a full rebuild would find — clusters ==
+    rebuild is then violated for that row.  This needs the true match to
+    lose the hash-order draw in all ~27 band families at once while
+    >= heads_per_bucket unrelated collisions beat it in each, which at
+    default settings is vanishingly rare for real near-dups (they share
+    most bands) — but it is a bound, not a guarantee, and the tradeoff
+    is what keeps per-add probe cost O(new), the same deal
+    ``add_max_candidates_per_item`` makes on the verify side.
     """
     from pyspark.sql import Window
     keys = new_exploded.select("band_id", "band_hash").distinct()
     touched = stored_bands.join(keys, ["band_id", "band_hash"], "left_semi")
-    wk = Window.partitionBy("band_id", "band_hash").orderBy("image_id")
+    wk = (Window.partitionBy("band_id", "band_hash")
+          .orderBy(F.xxhash64("image_id"), "image_id"))
     heads = (touched
              .withColumn("rn", F.row_number().over(wk))
              .filter(F.col("rn") <= heads_per_bucket)

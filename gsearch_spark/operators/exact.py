@@ -49,7 +49,18 @@ def exact_groups(images: DataFrame) -> DataFrame:
     this stage) and ONE shuffle: the min-per-group is a window over ck, so
     the groupBy + re-join form — which scanned (and md5'd) the images
     twice — is gone.  ck is kept in the output so incremental adds can
-    group new rows against old groups without touching old bytes."""
+    group new rows against old groups without touching old bytes.
+
+    Skew tradeoff (deliberate): the window lands every row of one ck in a
+    single task with no partial aggregation, so a viral key with 10^6
+    byte-identical copies becomes one straggler task — whereas the
+    groupBy form got map-side combine but md5'd the bytes twice.  The
+    window wins because the shuffled rows are (image_id, ck) KEYS only
+    (~100 B/row: a 10^6-copy bomb is ~100 MB in one task — slow, not
+    fatal, and AQE's skew-split does not apply to windows), while the
+    groupBy form's second byte scan is corpus-sized IO on every run.  If
+    a real corpus shows hotter keys than that, compute min via groupBy
+    (partial agg) and broadcast-join the (small) hot-key reps back."""
     w = Window.partitionBy("ck")
     return (content_keys(images)
             .select("image_id",

@@ -129,17 +129,37 @@ def verify_pairs(pairs_with_payloads: DataFrame,
 
     min_db = cfg.psnr_min_db
 
+    # Per-batch decode memo: candidate pairs repeat image ids heavily
+    # (star edges fan one rep out to a whole bucket; a hot item sits in
+    # many surviving pairs), and decode dominates this stage's CPU — so
+    # each distinct id decodes ONCE per Arrow batch, not once per pair.
+    # The memo is cleared when it holds MEMO_MAX decoded images so its
+    # memory stays bounded no matter the batch's id diversity (worst
+    # case it degenerates to decode-per-pair, never OOM).
+    MEMO_MAX = 1024
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = len(pdf)
             if n == 0:
                 continue
+            dec: "dict[object, np.ndarray]" = {}
+
+            def decode_memo(iid, raw):
+                arr = dec.get(iid)
+                if arr is None:
+                    if len(dec) >= MEMO_MAX:
+                        dec.clear()
+                    arr = decode_image(raw)
+                    dec[iid] = arr
+                return arr
+
             psnrs = np.empty(n, dtype=np.float64)
             cap_ok = np.empty(n, dtype=bool)
             dup = np.empty(n, dtype=bool)
             for i in range(n):
-                pa_ = decode_image(pdf["bytes_a"].iat[i])
-                pb = decode_image(pdf["bytes_b"].iat[i])
+                pa_ = decode_memo(pdf["a"].iat[i], pdf["bytes_a"].iat[i])
+                pb = decode_memo(pdf["b"].iat[i], pdf["bytes_b"].iat[i])
                 if pa_.shape != pb.shape:
                     p = float("-inf")
                 elif np.array_equal(pa_, pb):
@@ -165,10 +185,16 @@ def verify_pairs(pairs_with_payloads: DataFrame,
     # AQE coalesces post-join partitions by SHUFFLE SIZE, which starves
     # this decode-heavy Python stage of parallelism (observed: 32 cores,
     # load ~5, because a few coalesced partitions held all pairs).  Cost
-    # here is CPU per row, not bytes — force even task fan-out.
+    # here is CPU per row, not bytes — force even task fan-out.  Hashing
+    # on "a" (instead of round-robin) plus a partition-local sort lands a
+    # star rep's whole fan-out adjacently in one task, so the decode memo
+    # above actually hits; per-a pair counts are bounded by the star /
+    # add-candidate caps, so no straggler task.
     spark = pairs_with_payloads.sparkSession
     target = spark.sparkContext.defaultParallelism * 2
-    return cols.repartition(target).mapInPandas(run, schema=VERIFIED_SCHEMA)
+    return (cols.repartition(target, "a")
+            .sortWithinPartitions("a", "b")
+            .mapInPandas(run, schema=VERIFIED_SCHEMA))
 
 
 def verified_edges(pairs: DataFrame, images: DataFrame,

@@ -35,34 +35,39 @@ def _state_rows(spark, ckpt):
     return {r["stage"]: r["n"] for r in rows}
 
 
-def test_incremental_add_matches_full_run(spark, small_fixture_dir):
+@pytest.fixture(scope="module")
+def add_build(spark, small_fixture_dir):
+    """CKPT_ADD, built ONCE per module (not by a predecessor test, so the
+    dependent tests below survive -k selection and reordering): base
+    pipeline over the first 80% of ids + one add of the last 20%.  Dup
+    rows live at the END of the fixture (generator layout), so the added
+    batch contains duplicates OF old rows -> clusters must merge."""
     images = spark.read.parquet(f"{small_fixture_dir}/images.parquet")
-    # split: first 80% of ids are the initial build, last 20% are added;
-    # dup rows live at the END of the fixture (generator layout), so the
-    # added batch contains duplicates OF old rows -> clusters must merge
     ids = sorted(r["image_id"] for r in images.select("image_id").collect())
     cut = ids[int(len(ids) * 0.8)]
     old = images.filter(F.col("image_id") < cut)
     new = images.filter(F.col("image_id") >= cut)
-    n_new, n_old = new.count(), old.count()
-    assert n_new > 0 and n_old > 0
+    assert new.count() > 0 and old.count() > 0
 
     shutil.rmtree(CKPT_ADD, ignore_errors=True)
     NearDupPipeline(spark, CFG, CKPT_ADD).run(old, resume=False)
     added = _assign(incremental_add(spark, CFG, CKPT_ADD, new, images))
+    return {"images": images, "added": added}
 
+
+def test_incremental_add_matches_full_run(spark, add_build):
+    images = add_build["images"]
     shutil.rmtree(CKPT_FULL, ignore_errors=True)
     full = _assign(NearDupPipeline(spark, CFG, CKPT_FULL).run(
         images, resume=False))
-    assert added == full
+    assert add_build["added"] == full
 
 
-def test_add_work_is_o_new_not_o_corpus(spark, small_fixture_dir):
-    """The O(new) contract: the add_* delta rows recorded by the previous
-    test's add must be bounded by the NEW slice, not the corpus (the
+def test_add_work_is_o_new_not_o_corpus(spark, add_build):
+    """The O(new) contract: the add_* delta rows recorded by the module
+    fixture's add must be bounded by the NEW slice, not the corpus (the
     round-2 implementation re-banded and re-verified everything)."""
-    images = spark.read.parquet(f"{small_fixture_dir}/images.parquet")
-    n_total = images.count()
+    n_total = add_build["images"].count()
     state = _state_rows(spark, CKPT_ADD)
     n_new = state["add_exact_groups"]          # one row per added image
     assert 0 < n_new < n_total * 0.3
@@ -132,8 +137,9 @@ def test_incremental_add_pure_duplicates(spark, small_fixture_dir):
 def test_probe_pairs_heads_cap_bounds_hot_buckets(spark):
     """The add path's skew guard: probing a viral stored bucket (m old
     members) must emit at most heads_per_bucket pairs per new row — the
-    deterministic smallest-id heads — never O(m), while small buckets
-    pair in full."""
+    deterministic xxhash64-ordered heads (generation-blind, so repeated
+    appends don't bias head selection toward any id prefix) — never
+    O(m), while small buckets pair in full."""
     from gsearch_spark.operators.candidates import probe_pairs_vs_stored
     stored = spark.createDataFrame(
         [(1, 777, 0, f"old_{i:04d}") for i in range(100)]      # viral
@@ -147,30 +153,35 @@ def test_probe_pairs_heads_cap_bounds_hot_buckets(spark):
     edges = {(min(p), max(p)): None for p in
              ((r["a"], r["b"]) for r in pairs.collect())}
     olds = {old for (new, old) in edges if new == "new_a"}
-    # 16 heads from the viral bucket + full 3 from the small bucket
-    assert len(olds) == 16
-    assert olds == {f"old_{i:04d}" for i in range(16)}  # smallest ids
+    # viral heads = the 16 smallest ids in xxhash64 order (deterministic)
+    ranked = spark.createDataFrame(
+        [(f"old_{i:04d}",) for i in range(100)], schema="image_id string")
+    heads = {r["image_id"] for r in ranked.selectExpr(
+        "image_id", "xxhash64(image_id) AS h")
+        .orderBy("h", "image_id").limit(16).collect()}
+    small = {f"old_{i:04d}" for i in range(3)}  # small bucket pairs fully
+    assert olds == heads | small
     assert all(new == "new_a" for new, _ in edges)  # new_b key unmatched
 
 
-def test_incremental_add_refuses_other_config(spark, small_fixture_dir):
+def test_incremental_add_refuses_other_config(spark, add_build):
     import dataclasses
-    images = spark.read.parquet(f"{small_fixture_dir}/images.parquet")
+    images = add_build["images"]
     other = dataclasses.replace(CFG, sketch_size=64, bands=8)
     with pytest.raises(ValueError, match="different pipeline config"):
         incremental_add(spark, other, CKPT_ADD, images, images)
 
 
-def test_incremental_add_refuses_id_clash(spark, small_fixture_dir):
-    images = spark.read.parquet(f"{small_fixture_dir}/images.parquet")
+def test_incremental_add_refuses_id_clash(spark, add_build):
+    images = add_build["images"]
     dup = images.limit(5)  # ids already in the CKPT_ADD build
     with pytest.raises(ValueError, match="already in the build"):
         incremental_add(spark, CFG, CKPT_ADD, dup,
                         images.unionByName(dup))
 
 
-def test_incremental_add_refuses_wrong_union(spark, small_fixture_dir):
-    images = spark.read.parquet(f"{small_fixture_dir}/images.parquet")
+def test_incremental_add_refuses_wrong_union(spark, add_build):
+    images = add_build["images"]
     fresh = images.limit(5).select(
         F.concat(F.lit("zz_"), "image_id").alias("image_id"),
         "bytes", "w", "h", "fmt", "caption", "phash")

@@ -298,3 +298,36 @@ def test_prob_minhash_order_invariant():
     perm = rng.permutation(200)
     b = minhash_batch(hashes[perm], rows[perm], 2, 64, "prob", seed=42)
     assert (a == b).all()
+
+
+def test_stream_encoder_matches_one_shot_encode():
+    """StreamEncoder's load-bearing determinism claim (codec.py): feeding
+    row bands top-to-bottom yields BYTE-IDENTICAL output to one-shot
+    encode_image — header, quantization and the deflate stream alike."""
+    from gsearch_spark.codec import StreamEncoder
+    rng = np.random.default_rng(7)
+    for fmt, q in (("png", 92), ("jpeg", 92), ("jpeg", 70)):
+        for h, w in ((40, 56), (33, 17), (64, 64)):
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            enc = StreamEncoder(w, h, fmt, quality=q)
+            for r0 in range(0, h, 16):
+                enc.feed_quantized(enc.quantize(px[r0:r0 + 16]))
+            assert enc.finish() == encode_image(px, fmt, quality=q), \
+                (fmt, q, h, w)
+
+
+def test_pooled_gray_accumulator_matches_pool_to():
+    """PooledGrayAccumulator band-fed pooling == phash._pool_to over the
+    full luma plane (same integer bin edges + area division; only the
+    float64 summation order differs -> allclose, not equality)."""
+    from gsearch_spark.codec import PooledGrayAccumulator, to_gray
+    from gsearch_spark.phash import _pool_to
+    rng = np.random.default_rng(11)
+    for grid in (16, 32):
+        for h, w in ((40, 56), (37, 41), (64, 64)):
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            pool = PooledGrayAccumulator(w, h, grid=grid)
+            for r0 in range(0, h, 16):
+                pool.feed(r0, px[r0:r0 + 16])
+            assert np.allclose(pool.result(),
+                               _pool_to(to_gray(px), grid)), (grid, h, w)
