@@ -61,12 +61,16 @@ def _run_image_pipeline(spark: SparkSession, sf_dir: str) -> str:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: near-duplicate clusters of the synthetic images table."""
     ckpt = _run_image_pipeline(spark, "/root/testdata/sf0.001")
-    return spark.read.parquet(os.path.join(ckpt, "clusters"))
+    return (spark.read.parquet(os.path.join(ckpt, "clusters"))
+            .select("image_id", "cluster_id"))
 
 
 def _q_images_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # projection drops the pbucket hive-partition column (checkpoint
+    # layout detail, not part of the answer surface)
     ckpt = _run_image_pipeline(spark, sf_dir)
-    return spark.read.parquet(os.path.join(ckpt, "clusters"))
+    return (spark.read.parquet(os.path.join(ckpt, "clusters"))
+            .select("image_id", "cluster_id"))
 
 
 def _q_images_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,6 +139,12 @@ def _q_images_lsh_pairs_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_images_lsh_pairs(spark, path)
 
 
+def _q_images_clusters_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gsearch_spark.operators.imagedup_sql import q_images_clusters_sql
+    path = os.path.join(_images_fixture(sf_dir), "images.parquet")
+    return q_images_clusters_sql(spark, path)
+
+
 def _q_images_request_ani(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reformat-analog answer surface (query, distance, neighbor, ANI
     models 1+2 — gsearch src/bin/reformat.rs:69-86) over the SQL twin of
@@ -173,6 +183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "images_sig_minhash": _q_images_sig_minhash,
         "images_lsh_pairs_sql": _q_images_lsh_pairs_sql,
         "images_request_ani": _q_images_request_ani,
+        "images_clusters_sql": _q_images_clusters_sql,
         # text dedup tier (DuckDB-oracled, md5-derived hashing)
         "exact_dedup_docs": textdedup.q_exact_dedup,
         "minhash_signatures_docs": textdedup.q_minhash_signatures,
@@ -210,7 +221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from gsearch_spark.operators.imagedup_sql import (sql_images_lsh_pairs,
+    from gsearch_spark.operators.imagedup_sql import (sql_images_clusters,
+                                                      sql_images_lsh_pairs,
                                                       sql_images_request_ani,
                                                       sql_images_sig_minhash)
     # The driver compares at sf0.01; the DuckDB side reads the fixture
@@ -222,6 +234,7 @@ def oracle_sql() -> dict[str, str]:
         "images_sig_minhash": sql_images_sig_minhash(fixture_path),
         "images_lsh_pairs_sql": sql_images_lsh_pairs(fixture_path),
         "images_request_ani": sql_images_request_ani(fixture_path),
+        "images_clusters_sql": sql_images_clusters(fixture_path),
         "exact_dedup_docs": textdedup.SQL_EXACT_DEDUP,
         "minhash_signatures_docs": textdedup.SQL_MINHASH_SIGNATURES,
         "lsh_band_pairs_docs": textdedup.SQL_LSH_BAND_PAIRS,

@@ -77,6 +77,18 @@ def main() -> None:
     cfg = PipelineConfig(shuffle_partitions=CPUS)
     images = spark.read.parquet(os.path.join(fixture, "images.parquet"))
     n_images = images.count()
+
+    # ---- untimed warm-up (BENCH_WARMUP=0 disables): one pipeline run
+    # over a 1/8 slice absorbs JVM/JIT/codegen/Arrow first-run cost.
+    # Round-3 spread analysis showed the FIRST timed run at 2.4-3.4x the
+    # min with later runs converging — warm-up, not host noise.
+    if os.environ.get("BENCH_WARMUP", "1") != "0":
+        warm = images.limit(max(2_000, n_images // 8))
+        ckpt_w = os.path.join(CACHE, "ckpt_warmup")
+        shutil.rmtree(ckpt_w, ignore_errors=True)
+        NearDupPipeline(spark, cfg, ckpt_w).run(warm, resume=False)
+        shutil.rmtree(ckpt_w, ignore_errors=True)
+
     runs: "list[dict[str, float]]" = []
     ckpt = os.path.join(CACHE, f"ckpt_{n_base}_{CPUS}")
     for run_i in range(n_runs):
@@ -138,8 +150,11 @@ def main() -> None:
     # ---- append-only add: insert ~1% genuinely-new rows into the build --
     # (same pixels as existing rows, new captions => new content keys, so
     # the full add path runs: sketch new reps, probe stored bands, verify
-    # new-touching pairs, CC over stored ∪ new edges.  Run once — the add
-    # mutates the checkpoint, and a repeat would be an id clash.)
+    # new-touching pairs, incremental contraction-CC over the new edges.
+    # Each repeat runs against a THROWAWAY COPY of the checkpoint — the
+    # add mutates its build, and a repeat in place would be an id clash —
+    # so min-of-N applies here like everywhere else; the copy is not
+    # timed.)
     from gsearch_spark.operators.pipeline import incremental_add
     new_imgs = (images
                 .filter(F.pmod(F.xxhash64("image_id"), F.lit(97)) == 0)
@@ -148,11 +163,20 @@ def main() -> None:
                         F.concat(F.col("caption"), F.lit(" appended"))
                         .alias("caption"), "phash"))
     n_add = new_imgs.count()
-    t0 = time.time()
-    incremental_add(spark, cfg, ckpt, new_imgs,
-                    images.unionByName(new_imgs)).write.format(
-        "noop").mode("overwrite").save()
-    queries["incremental_add"] = round(time.time() - t0, 3)
+    add_times = []
+    ckpt_copy = ckpt + "_addrun"
+    for rep in range(n_runs):
+        if rep > 0 and over_budget(0.85):
+            break
+        shutil.rmtree(ckpt_copy, ignore_errors=True)
+        shutil.copytree(ckpt, ckpt_copy)
+        t0 = time.time()
+        incremental_add(spark, cfg, ckpt_copy, new_imgs,
+                        images.unionByName(new_imgs)).write.format(
+            "noop").mode("overwrite").save()
+        add_times.append(round(time.time() - t0, 3))
+    shutil.rmtree(ckpt_copy, ignore_errors=True)
+    queries["incremental_add"] = min(add_times)
 
     # ---- representative driver-table queries -----------------------------
     qmap = entrymod.queries()
@@ -181,6 +205,7 @@ def main() -> None:
         "n_runs": len(runs),
         "runs": runs,
         "request_runs": req_times,
+        "add_runs": add_times,
         "sig_lsh_sec": round(sig_lsh, 3),
         "images_per_sec_sig_lsh": round(n_images / sig_lsh, 1)
         if sig_lsh else None,

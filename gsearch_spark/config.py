@@ -35,8 +35,11 @@ class PipelineConfig:
     # OR a checkpoint schema changes so old checkpoints (whose stored
     # values/columns the new code can't reproduce) fail the
     # parameters.json hash check instead of silently mixing
-    # (v3: exact_groups carries the content key ck for append-only add)
-    sig_version: int = 3
+    # (v3: exact_groups carries the content key ck for append-only add;
+    #  v4: clusters checkpoint is hive-partitioned by pbucket =
+    #  xxhash64(cluster_id) % cluster_buckets so incremental adds rewrite
+    #  only touched partitions)
+    sig_version: int = 4
     # --- shingling (reference: k-mer generation, src/dna/dnasketch.rs:499-518)
     caption_kgram: int = 5           # caption character k-grams
     phash_shingle_bits: int = 16     # width of phash bit n-gram shingles
@@ -87,6 +90,13 @@ class PipelineConfig:
     # True = per-iteration Parquet under the checkpoint dir (survives
     # executor loss on a real cluster)
     cc_reliable_checkpoints: bool = False
+    # clusters checkpoint layout: hive partitions on pbucket =
+    # xxhash64(cluster_id) % cluster_buckets.  The add path's clusters
+    # commit rewrites ONLY partitions holding affected clusters (Iceberg
+    # partition-level MERGE analog), so per-add clusters IO is
+    # O(affected/cluster_buckets of the corpus), not O(corpus).  Size it
+    # so one bucket ~ a few GB at the target scale (10^5+ at 10^12 rows)
+    cluster_buckets: int = 64
     # append-only add: per-new-item candidate cap applied AFTER the phash
     # prefilter (only plausible pairs compete for slots) — bounds the
     # verify decode cost of one appended viral duplicate at O(cap) instead
@@ -123,6 +133,8 @@ class PipelineConfig:
                 "[2000, 3000) into the caption band ids")
         if self.verify_attach not in ("auto", "broadcast", "shuffle"):
             raise ValueError(f"unknown verify_attach {self.verify_attach!r}")
+        if self.cluster_buckets < 1:
+            raise ValueError("cluster_buckets must be >= 1")
 
     # -- persistence (parameters.json discipline) --------------------------
 

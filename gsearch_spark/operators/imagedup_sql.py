@@ -279,3 +279,55 @@ def sql_images_request_ani(parquet_path: str) -> str:
       FROM ranked
       WHERE rnk <= {REQ_K} AND distance <= {REQ_MAX_DIST}
     """
+
+
+# --------------------------------------------------------------------------
+# Clusters twin: connected components over the SQL-twin edge set.
+#
+# Puts the LAST pipeline stage family (CC -> cluster assignments, the
+# product surface of binaux/hnswcore.rs:269-277's point->facility
+# dispatch) under the hash gate: Spark runs the SAME small-star/large-star
+# operator the pipeline uses (operators/cc.py) over the twin band-join
+# edges; DuckDB computes components independently via a recursive-CTE
+# reachability closure (label = min reachable node).  Both sides label a
+# component by its lexicographic minimum member — the FIXTURES.md
+# normalization contract — so the assignments must hash-match exactly.
+# --------------------------------------------------------------------------
+
+def q_images_clusters_sql(spark: SparkSession,
+                          parquet_path: str) -> DataFrame:
+    from gsearch_spark.operators.cc import assign_clusters
+    pairs = q_images_lsh_pairs(spark, parquet_path)
+    universe = spark.read.parquet(parquet_path).select("image_id")
+    return assign_clusters(pairs, universe)
+
+
+def sql_images_clusters(parquet_path: str) -> str:
+    base = _duck_minhash_cte(parquet_path).replace(
+        "WITH img AS", "WITH RECURSIVE img AS", 1)
+    return base + f"""
+      , bands AS (
+        SELECT image_id, (j // {ROWS_PER_BAND})::INT AS band,
+               string_agg(minval::VARCHAR, '-' ORDER BY j) AS sig
+        FROM minhash
+        GROUP BY image_id, (j // {ROWS_PER_BAND})::INT
+      ),
+      pairs AS (
+        SELECT DISTINCT x.image_id AS a, y.image_id AS b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.sig = y.sig AND x.image_id < y.image_id
+      ),
+      bidir AS (
+        SELECT a AS u, b AS v FROM pairs
+        UNION
+        SELECT b AS u, a AS v FROM pairs
+      ),
+      reach(u, label) AS (
+        SELECT image_id, image_id FROM img
+        UNION
+        SELECT e.v, r.label
+        FROM reach r JOIN bidir e ON e.u = r.u
+      )
+      SELECT u AS image_id, min(label) AS cluster_id
+      FROM reach GROUP BY u
+    """

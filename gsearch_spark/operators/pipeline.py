@@ -31,7 +31,8 @@ from gsearch_spark.config import PipelineConfig
 from gsearch_spark.fs import CheckpointFS
 from gsearch_spark.operators.banding import build_bands
 from gsearch_spark.operators.candidates import bucket_stats, emit_bucket_pairs
-from gsearch_spark.operators.cc import assign_clusters
+from gsearch_spark.operators.cc import (assign_clusters,
+                                        connected_components)
 from gsearch_spark.operators.exact import (exact_groups, expand_clusters,
                                            representatives)
 from gsearch_spark.operators.signatures import compute_signatures
@@ -40,6 +41,17 @@ from gsearch_spark.operators.verify import verified_edges
 
 STAGES = ("exact_groups", "signatures", "bands", "candidate_pairs",
           "verified_edges", "clusters")
+
+ADD_MANIFEST = "_add_commit_manifest.json"
+
+
+def cluster_pbucket(cfg: PipelineConfig) -> "F.Column":
+    """Hive-partition key of the clusters checkpoint: which partition a
+    cluster's rows live in.  Pure function of cluster_id so an
+    incremental add can prune reads AND rewrites to touched partitions
+    (the Iceberg bucket-transform analog for the output table)."""
+    return F.pmod(F.xxhash64("cluster_id"),
+                  F.lit(cfg.cluster_buckets)).cast("int")
 
 
 @dataclass
@@ -196,7 +208,9 @@ class NearDupPipeline:
             edges = self._record("verified_edges", edges, t0, skipped=False)
 
         # -- stage 5: clusters (small-star / large-star CC over reps,
-        #    then expand exact-group members onto their rep's cluster) -----
+        #    then expand exact-group members onto their rep's cluster).
+        #    Written hive-partitioned on pbucket(cluster_id) so the
+        #    append path can prune its partition-level rewrite ---------
         t0 = time.time()
         if resume and self._done("clusters"):
             clusters = self.spark.read.parquet(self._path("clusters"))
@@ -206,10 +220,13 @@ class NearDupPipeline:
                       if self.cfg.cc_reliable_checkpoints else None)
             rep_clusters = assign_clusters(edges, images_rep,
                                            checkpoint_dir=cc_dir)
-            clusters = self._write_stage(
-                "clusters", expand_clusters(rep_clusters, groups))
+            path = self._path("clusters")
+            (expand_clusters(rep_clusters, groups)
+             .withColumn("pbucket", cluster_pbucket(self.cfg))
+             .write.mode("overwrite").partitionBy("pbucket").parquet(path))
+            clusters = self.spark.read.parquet(path)
             clusters = self._record("clusters", clusters, t0, skipped=False)
-        return clusters
+        return clusters.select("image_id", "cluster_id")
 
 
 def run_pipeline(spark: SparkSession, images_path: str, checkpoint_dir: str,
@@ -249,20 +266,33 @@ def incremental_add(spark: SparkSession, cfg: PipelineConfig,
       ONLY the phash groups a new rep touches;
     * verify decodes only new-touching pairs, capped per new item
       (cfg.add_max_candidates_per_item) after the phash prefilter;
-    * CC reruns over stored ∪ new edges — cluster membership is global
-      (new edges can merge old clusters), and CC cost is O(edges), the
-      one irreducibly global step;
-    * commit APPENDS the staged deltas (file renames, no rewrite) to
-      exact_groups/signatures/bands/candidate_pairs/verified_edges and
-      overwrites clusters.  Per-add IO and decode cost are O(new), not
-      O(corpus); per-stage delta row counts land in pipeline_state under
-      ``add_*`` stage names (the O(new) contract is asserted in
-      tests/test_incremental_add.py).
+    * clusters update INCREMENTALLY by contraction: the stored clusters
+      checkpoint IS the connected components of all stored edges, so
+      contracting every old component to its label preserves
+      connectivity exactly — CC runs over LABEL-level edges induced by
+      the new verified edges only (O(|new edges|) input, recorded as
+      ``add_cc_edges``), never over the stored edge set (which this
+      path no longer even reads).  Affected clusters = merged labels ∪
+      clusters whose exact-groups received new members; only their
+      member rows are re-read (partition-pruned via the clusters
+      checkpoint's pbucket hive partitioning), re-labelled and
+      min-member-normalized (``add_clusters`` = that delta);
+    * commit is manifest-protected: every delta (including the touched
+      clusters partitions) is fully staged first, then a commit manifest
+      is written, then files move/swap by rename.  A crash at ANY point
+      either leaves a pre-manifest staging dir (the add never happened;
+      wiped and re-runnable) or a torn post-manifest commit that
+      :func:`recover_add_commit` — called automatically at the start of
+      the next add — rolls FORWARD to completion.  Appends are file
+      renames; clusters swaps only the partitions in the manifest, so
+      per-add clusters IO is O(affected), not O(corpus).
 
-    Not atomic across stages: a crash mid-commit can leave a partially
-    appended checkpoint (the reference's in-place HNSW mutate has the
-    same failure mode).  Re-running the SAME add is not idempotent —
-    restore from a snapshot or rebuild instead.
+    Per-add IO and decode cost are O(new); per-stage delta row counts
+    land in pipeline_state under ``add_*`` stage names (the O(new)
+    contract is asserted in tests/test_incremental_add.py).  The
+    reference's ``add`` is likewise insert-only into the persisted HNSW
+    with no corpus-sized post-pass (src/dna/dnasketch.rs:106-134) but
+    offers no torn-commit recovery.
 
     ``all_images`` must be old ∪ new (verify needs both sides' payloads;
     at scale, back it with a table whose layout supports id lookups —
@@ -280,6 +310,7 @@ def incremental_add(spark: SparkSession, cfg: PipelineConfig,
 
     pipe = NearDupPipeline(spark, cfg, checkpoint_dir)
     cfg.assert_matches_via(pipe.fs, checkpoint_dir)
+    recover_add_commit(spark, checkpoint_dir)  # finish any torn commit
 
     old_groups = spark.read.parquet(pipe._path("exact_groups"))
     if "ck" not in old_groups.columns:
@@ -287,7 +318,11 @@ def incremental_add(spark: SparkSession, cfg: PipelineConfig,
             "checkpoint predates append-only add (exact_groups has no "
             "content-key column); rebuild with tohnsw first")
     old_bands = spark.read.parquet(pipe._path("bands"))
-    old_edges = spark.read.parquet(pipe._path("verified_edges"))
+    clusters_stored = spark.read.parquet(pipe._path("clusters"))
+    if "pbucket" not in clusters_stored.columns:
+        raise ValueError(
+            "checkpoint predates bucketed clusters (no pbucket "
+            "partitioning); rebuild with tohnsw first")
 
     n_new = new_images.count()
     n_old = old_groups.count()
@@ -388,30 +423,181 @@ def incremental_add(spark: SparkSession, cfg: PipelineConfig,
                       verify_pairs(attached, cfg).filter(F.col("dup"))
                       .select("a", "b", "src", "psnr", "caption_eq"))
 
-    # -- global CC over stored ∪ new edges, labels = min member id -------
-    edges = (old_edges.select("a", "b")
-             .unionByName(new_edges.select("a", "b")))
-    cc_dir = (os.path.join(staging, "cc_work")
-              if cfg.cc_reliable_checkpoints else None)
-    rep_clusters = assign_clusters(edges, all_rep_ids,
-                                   checkpoint_dir=cc_dir)
-    expanded = expand_clusters(rep_clusters,
-                               old_groups.unionByName(new_groups))
-    # label normalization: under rank continuation a group's rep may no
-    # longer be its minimum member, so cluster_id = min rep id is not
-    # automatically min MEMBER id; one narrow shuffle restores the
-    # from-scratch labeling (cluster_id = lexicographic min member)
-    norm = (expanded.groupBy("cluster_id")
-            .agg(F.min("image_id").alias("norm_id")))
-    clusters = stage("clusters",
-                     expanded.join(norm, "cluster_id")
-                     .select("image_id",
-                             F.col("norm_id").alias("cluster_id")))
+    # -- INCREMENTAL clusters: CC by contraction ------------------------
+    # Stored clusters are exactly CC(stored edges), so contracting each
+    # old component to its label preserves connectivity when the new
+    # edges arrive: CC input is the label-level image of the NEW edges
+    # only — O(|new edges|), independent of the stored edge count (which
+    # is never read).  Endpoint labels come from one broadcast-semi
+    # lookup into the stored clusters scan (no shuffle of the corpus; at
+    # 10^12 rows store clusters in an Iceberg table bucketed by image_id
+    # too and this lookup partition-prunes as well).
+    t0 = time.time()
+    matched_reps = (new_groups
+                    .join(new_images.select(F.col("image_id")
+                                            .alias("rep_id")),
+                          "rep_id", "left_anti")
+                    .select("rep_id").distinct())  # old reps gaining members
+    endpoint_ids = (new_edges.select(F.col("a").alias("image_id"))
+                    .unionByName(new_edges.select(F.col("b")
+                                                  .alias("image_id")))
+                    .unionByName(matched_reps.select(F.col("rep_id")
+                                                     .alias("image_id")))
+                    .distinct())
+    labels = (clusters_stored
+              .join(F.broadcast(endpoint_ids), "image_id", "left_semi")
+              .select("image_id", F.col("cluster_id").alias("label"))
+              .localCheckpoint())  # small: O(new edges + matched reps)
+    lab_a = labels.select(F.col("image_id").alias("a"),
+                          F.col("label").alias("la"))
+    lab_b = labels.select(F.col("image_id").alias("b"),
+                          F.col("label").alias("lb"))
+    label_edges = (new_edges.select("a", "b")
+                   .join(F.broadcast(lab_a), "a", "left")
+                   .join(F.broadcast(lab_b), "b", "left")
+                   .select(F.coalesce("la", F.col("a")).alias("a"),
+                           F.coalesce("lb", F.col("b")).alias("b"))
+                   .filter(F.col("a") != F.col("b"))
+                   .distinct().localCheckpoint())
+    pipe._record("add_cc_edges", label_edges, t0, skipped=False)
+    rep_cc = connected_components(label_edges).localCheckpoint()
 
-    # -- commit: move staged delta files in; overwrite clusters ----------
-    for name in ("exact_groups", "signatures", "bands", "candidate_pairs",
-                 "verified_edges"):
-        pipe.fs.move_children(f"{staging}/{name}", pipe._path(name))
-    clusters.write.mode("overwrite").parquet(pipe._path("clusters"))
+    # affected clusters: merged old labels ∪ clusters whose exact-groups
+    # gained members (their min MEMBER id — the label under the
+    # from-scratch normalization contract — may have changed)
+    t0 = time.time()
+    stored_labels = labels.select("label").distinct()
+    matched_rep_labels = (matched_reps
+                          .join(labels.withColumnRenamed("image_id",
+                                                         "rep_id"),
+                                "rep_id")
+                          .select("label"))
+    aff = (rep_cc.select(F.col("image_id").alias("label"))
+           .join(stored_labels, "label", "left_semi")
+           .unionByName(matched_rep_labels)
+           .distinct().localCheckpoint())
+
+    def _pb(col: str) -> "F.Column":
+        return F.pmod(F.xxhash64(col), F.lit(cfg.cluster_buckets)) \
+                .cast("int")
+
+    aff_buckets = sorted(r[0] for r in
+                         aff.select(_pb("label").alias("pb"))
+                         .distinct().collect())  # <= cluster_buckets ints
+    aff_cl = aff.withColumnRenamed("label", "cluster_id")
+    # member rows of affected clusters ONLY, read under pbucket pruning
+    aff_members = (clusters_stored
+                   .filter(F.col("pbucket").isin(aff_buckets))
+                   .join(F.broadcast(aff_cl), "cluster_id")
+                   .select("image_id", "cluster_id"))
+    Rm = rep_cc.select(F.col("image_id").alias("cluster_id"),
+                       F.col("cluster_id").alias("root"))
+    relab_old = (aff_members.join(F.broadcast(Rm), "cluster_id", "left")
+                 .select("image_id",
+                         F.coalesce("root", "cluster_id").alias("root")))
+    # every NEW member routes through its rep's label to the merged root
+    rep_lab = (new_groups.select("image_id", "rep_id")
+               .join(F.broadcast(labels.withColumnRenamed("image_id",
+                                                          "rep_id")),
+                     "rep_id", "left")
+               .select("image_id",
+                       F.coalesce("label", F.col("rep_id"))
+                       .alias("cluster_id")))
+    relab_new = (rep_lab.join(F.broadcast(Rm), "cluster_id", "left")
+                 .select("image_id",
+                         F.coalesce("root", "cluster_id").alias("root")))
+    # min-member normalization over the affected slice only (the rest of
+    # the corpus already satisfies cluster_id == min member by induction)
+    members = relab_old.unionByName(relab_new)
+    norm = members.groupBy("root").agg(F.min("image_id")
+                                       .alias("cluster_id"))
+    delta = (members.join(F.broadcast(norm), "root")
+             .select("image_id", "cluster_id").localCheckpoint())
+    pipe._record("add_clusters", delta, t0, skipped=False)
+
+    # -- stage the rewritten clusters partitions (touched buckets only) --
+    t0 = time.time()
+    delta_buckets = {r[0] for r in
+                     delta.select(_pb("cluster_id").alias("pb"))
+                     .distinct().collect()}
+    touched = sorted(set(aff_buckets) | delta_buckets)
+    kept = (clusters_stored.filter(F.col("pbucket").isin(touched))
+            .join(F.broadcast(aff_cl.select("cluster_id")),
+                  "cluster_id", "left_anti")
+            .select("image_id", "cluster_id"))
+    (kept.unionByName(delta)
+     .withColumn("pbucket", _pb("cluster_id"))
+     .write.mode("overwrite").partitionBy("pbucket")
+     .parquet(f"{staging}/clusters"))
+    staged_clusters = spark.read.parquet(f"{staging}/clusters")
+    pipe._record("add_clusters_rewrite", staged_clusters, t0,
+                 skipped=False)
+    present = {r[0] for r in staged_clusters.select("pbucket")
+               .distinct().collect()}
+    # a touched bucket with no staged rows (all its clusters merged away
+    # into other buckets) must be DELETED at commit, not left stale
+    swap = {str(p): bool(p in present) for p in touched}
+
+    # -- commit: manifest first, then renames; crash => roll-forward -----
+    manifest = {"version": 1, "staging": staging,
+                "append_stages": ["exact_groups", "signatures", "bands",
+                                  "candidate_pairs", "verified_edges"],
+                "clusters_swap": swap}
+    mpath = os.path.join(checkpoint_dir, ADD_MANIFEST)
+    pipe.fs.write_text(mpath, json.dumps(manifest))
+    _apply_add_commit(pipe.fs, checkpoint_dir, manifest)
+    pipe.fs.delete(mpath)
     pipe.fs.delete(staging)
-    return spark.read.parquet(pipe._path("clusters"))
+    # the swap happened via raw FS renames, invisible to Spark's shared
+    # file-status cache — refresh before re-listing (the documented
+    # plan-cache-over-rewritten-path pitfall, FS-metadata edition)
+    for name in ("exact_groups", "signatures", "bands", "candidate_pairs",
+                 "verified_edges", "clusters"):
+        spark.catalog.refreshByPath(pipe._path(name))
+    return (spark.read.parquet(pipe._path("clusters"))
+            .select("image_id", "cluster_id"))
+
+
+def _apply_add_commit(fs: CheckpointFS, root: str, manifest: dict) -> None:
+    """Execute (or RESUME) a staged add commit.  Idempotent: every step
+    checks what already happened, so it can re-run after a crash at any
+    point — staged stage dirs are deleted once their files move (a
+    re-run skips them), and a clusters partition swap re-runs only while
+    its staged dir still exists."""
+    staging = manifest["staging"]
+    for name in manifest["append_stages"]:
+        src = f"{staging}/{name}"
+        if fs.exists(src):
+            fs.move_children(src, f"{root}/{name}")
+            fs.delete(src)
+    live = f"{root}/clusters"
+    for p, has_rows in manifest["clusters_swap"].items():
+        staged_p = f"{staging}/clusters/pbucket={p}"
+        live_p = f"{live}/pbucket={p}"
+        if has_rows:
+            if fs.exists(staged_p):      # not yet swapped
+                fs.delete(live_p)
+                fs.rename(staged_p, live_p)
+        else:
+            fs.delete(live_p)
+
+
+def recover_add_commit(spark: SparkSession, checkpoint_dir: str) -> bool:
+    """Roll FORWARD a torn append-only-add commit (crash after the
+    manifest was written but before the commit finished).  Called
+    automatically at the start of every :func:`incremental_add`; safe to
+    call any time.  Returns True iff a torn commit was found and
+    completed.  A staging dir WITHOUT a manifest is pre-commit garbage
+    (the add never logically happened) and is left for the next add to
+    wipe."""
+    fs = CheckpointFS(spark, checkpoint_dir)
+    mpath = f"{checkpoint_dir}/{ADD_MANIFEST}"
+    if not fs.exists(mpath):
+        return False
+    manifest = json.loads(fs.read_text(mpath))
+    _apply_add_commit(fs, checkpoint_dir, manifest)
+    fs.delete(mpath)
+    fs.delete(manifest["staging"])
+    for name in manifest["append_stages"] + ["clusters"]:
+        spark.catalog.refreshByPath(f"{checkpoint_dir}/{name}")
+    return True

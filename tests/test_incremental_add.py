@@ -187,3 +187,81 @@ def test_incremental_add_refuses_wrong_union(spark, add_build):
         "bytes", "w", "h", "fmt", "caption", "phash")
     with pytest.raises(ValueError, match="old ∪ new"):
         incremental_add(spark, CFG, CKPT_ADD, fresh, images)
+
+
+def test_add_cc_is_incremental(spark, add_build):
+    """Contraction contract: CC inside the add runs over LABEL-level
+    edges induced by the new verified edges (recorded as add_cc_edges),
+    never over the stored edge set — and the clusters delta
+    (add_clusters) covers only affected clusters plus the new rows, not
+    the corpus."""
+    n_total = add_build["images"].count()
+    state = _state_rows(spark, CKPT_ADD)
+    # CC input is bounded by the new verified-edge delta (contraction
+    # maps each new edge to <= 1 label edge) — O(new), not O(all edges)
+    assert state.get("add_cc_edges", 0) <= state.get(
+        "add_verified_edges", 0)
+    # the relabel/normalize delta touches affected clusters + new rows
+    # only; the stored clusters stage covered the whole (old) corpus
+    assert 0 < state["add_clusters"] < state["clusters"]
+    assert state["add_clusters"] < n_total * 0.6
+    # the partition-level rewrite stages only touched pbuckets
+    assert state["add_clusters_rewrite"] <= n_total
+
+
+def test_add_commit_crash_rolls_forward(spark, add_build, monkeypatch):
+    """Atomic-commit contract: kill the commit (a) between stage-file
+    moves and (b) mid-partition-swap after the live partition was
+    deleted; in both cases the manifest must roll the torn commit
+    FORWARD on recovery, leaving the checkpoint identical to an
+    uninterrupted add."""
+    from gsearch_spark.fs import CheckpointFS
+    from gsearch_spark.operators.pipeline import (ADD_MANIFEST,
+                                                  recover_add_commit)
+    images = add_build["images"]
+    ids = sorted(r["image_id"] for r in images.select("image_id").collect())
+    cut = ids[int(len(ids) * 0.8)]
+    old = images.filter(F.col("image_id") < cut)
+    new = images.filter(F.col("image_id") >= cut)
+
+    base = "/tmp/gsearch_spark_ckpt_crashbase"
+    shutil.rmtree(base, ignore_errors=True)
+    NearDupPipeline(spark, CFG, base).run(old, resume=False)
+
+    def crash_scenario(ckpt, attr, crash_on_call):
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.copytree(base, ckpt)
+        real = getattr(CheckpointFS, attr)
+        calls = {"n": 0}
+
+        def exploding(self, *a, **k):
+            calls["n"] += 1
+            if calls["n"] == crash_on_call:
+                raise RuntimeError("injected crash mid-commit")
+            return real(self, *a, **k)
+
+        monkeypatch.setattr(CheckpointFS, attr, exploding)
+        try:
+            with pytest.raises(RuntimeError, match="injected crash"):
+                incremental_add(spark, CFG, ckpt, new, images)
+        finally:
+            monkeypatch.setattr(CheckpointFS, attr, real)
+        # torn commit: manifest present, then recovery rolls it forward
+        assert os.path.exists(os.path.join(ckpt, ADD_MANIFEST))
+        assert recover_add_commit(spark, ckpt)
+        assert not os.path.exists(os.path.join(ckpt, ADD_MANIFEST))
+        assert not os.path.exists(os.path.join(ckpt, "_add_staging"))
+        got = _assign(spark.read.parquet(os.path.join(ckpt, "clusters"))
+                      .select("image_id", "cluster_id"))
+        assert got == add_build["added"]
+        n = spark.read.parquet(os.path.join(ckpt, "exact_groups")).count()
+        assert n == images.count()
+
+    # (a) move_children is only called for stage-file appends: crash on
+    # the 2nd append (exact_groups moved, signatures mid-flight)
+    crash_scenario("/tmp/gsearch_spark_ckpt_crash_a", "move_children", 2)
+    # (b) CheckpointFS.rename is only called for clusters partition
+    # swaps (move_children renames via the raw Hadoop FS): crash on the
+    # 1st swap — AFTER its live partition dir was already deleted, the
+    # nastiest window
+    crash_scenario("/tmp/gsearch_spark_ckpt_crash_b", "rename", 1)
