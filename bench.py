@@ -129,6 +129,32 @@ def main() -> None:
                  if r.stage == "clusters"), 3)
         shutil.rmtree(ckpt_r, ignore_errors=True)
 
+    # ---- optional: bucketed-payload pipeline arm (BENCH_BUCKETED=1) -----
+    # one run THROUGH the image_id-bucketed payload table with the
+    # shuffle attach (the 10^12-row path the CLI's --bucketed wires up),
+    # so the no-payload-exchange layout's cost/benefit at this scale is a
+    # published number next to the broadcast-attach default
+    if os.environ.get("BENCH_BUCKETED") == "1":
+        import dataclasses
+        from gsearch_spark.bucketed import (bucketed_images,
+                                            write_images_bucketed)
+        table = "gsearch_bench_payload"
+        write_images_bucketed(spark, images, table, buckets=CPUS,
+                              path=os.path.join(CACHE,
+                                                f"payload_{n_base}"))
+        ckpt_b = ckpt + "_bucketed"
+        shutil.rmtree(ckpt_b, ignore_errors=True)
+        pipe_b = NearDupPipeline(
+            spark, dataclasses.replace(cfg, verify_attach="shuffle"),
+            ckpt_b)
+        t0 = time.time()
+        pipe_b.run(bucketed_images(spark, table), resume=False)
+        queries["pipeline_total_bucketed"] = round(time.time() - t0, 3)
+        queries["pipeline_verified_edges_bucketed"] = round(
+            next(r.seconds for r in pipe_b.records
+                 if r.stage == "verified_edges"), 3)
+        shutil.rmtree(ckpt_b, ignore_errors=True)
+
     # ---- build-vs-probe: request against the fresh build ----------------
     from pyspark.sql import functions as F
     from gsearch_spark.operators.request import request
@@ -192,7 +218,7 @@ def main() -> None:
         queries[name] = min(times)
 
     total = round(sum(v for k, v in queries.items()
-                      if not k.endswith("_cc_reliable"))
+                      if not k.endswith(("_cc_reliable", "_bucketed")))
                   - queries["pipeline_total"], 3)
     out = {
         "metric": "bench_suite_seconds",

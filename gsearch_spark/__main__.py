@@ -45,17 +45,48 @@ def _manifest_path(build_dir: str) -> str:
     return os.path.join(build_dir, "sources.json")
 
 
+def _payload_table_name(build_dir: str) -> str:
+    import hashlib
+    import re
+    base = re.sub(r"\W+", "_", os.path.basename(
+        os.path.normpath(build_dir))).strip("_") or "build"
+    suffix = hashlib.md5(os.path.abspath(build_dir).encode()).hexdigest()[:8]
+    return f"gsearch_payload_{base}_{suffix}"
+
+
 def cmd_tohnsw(args) -> int:
+    import dataclasses
     from gsearch_spark.fs import CheckpointFS
     from gsearch_spark.operators.pipeline import NearDupPipeline
     spark = _spark(args.cores)
     cfg = _cfg_from_args(args)
     images = spark.read.parquet(args.datadir)
+    manifest = {"sources": [args.datadir]}
+    if args.bucketed:
+        # --bucketed: persist the payload table bucketed on image_id
+        # beside the build (Iceberg bucket-transform analog) and run the
+        # pipeline THROUGH it with the shuffle attach strategy — the
+        # combination under which the payload bytes never shuffle on any
+        # image_id join (plan-asserted in tests).  The broadcast attach
+        # doesn't need bucketing; shuffle is the 10^12-row path where
+        # the id set outgrows the driver.
+        from gsearch_spark.bucketed import (bucketed_images,
+                                            write_images_bucketed)
+        table = _payload_table_name(args.build_dir)
+        payload_path = os.path.abspath(
+            os.path.join(args.build_dir, "payload"))
+        write_images_bucketed(spark, images, table,
+                              buckets=args.payload_buckets,
+                              path=payload_path)
+        images = bucketed_images(spark, table)
+        cfg = dataclasses.replace(cfg, verify_attach="shuffle")
+        manifest.update(payload_table=table,
+                        payload_path=payload_path,
+                        payload_buckets=args.payload_buckets)
     clusters = NearDupPipeline(spark, cfg, args.build_dir).run(
         images, resume=not args.no_resume)
     fs = CheckpointFS(spark, args.build_dir)
-    fs.write_text(_manifest_path(args.build_dir),
-                  json.dumps({"sources": [args.datadir]}))
+    fs.write_text(_manifest_path(args.build_dir), json.dumps(manifest))
     n = clusters.count()
     print(f"tohnsw: built {args.build_dir}: {n} cluster assignments")
     return 0
@@ -70,7 +101,26 @@ def cmd_add(args) -> int:
     cfg = PipelineConfig.reload_via(fs, args.build_dir)  # original config
     manifest = json.loads(fs.read_text(_manifest_path(args.build_dir)))
     new_images = spark.read.parquet(args.newdir)
-    all_images = spark.read.parquet(*manifest["sources"], args.newdir)
+    if manifest.get("payload_table"):
+        # bucketed build: append new payloads into the bucketed table
+        # under its existing bucket spec, then run the add THROUGH the
+        # table so every payload join stays exchange-free.  The id-clash
+        # check runs FIRST so a retried/duplicate add can't plant
+        # duplicate payload rows (which would fan out every join).
+        from gsearch_spark.bucketed import (append_images_bucketed,
+                                            ensure_bucketed_table)
+        table = manifest["payload_table"]
+        ensure_bucketed_table(spark, table, manifest["payload_path"],
+                              manifest["payload_buckets"])
+        if new_images.join(spark.table(table).select("image_id"),
+                           "image_id", "left_semi").count():
+            raise ValueError(
+                f"{args.newdir} contains image_ids already present in "
+                f"payload table {table}; refusing to append")
+        append_images_bucketed(spark, new_images, table)
+        all_images = spark.table(table)
+    else:
+        all_images = spark.read.parquet(*manifest["sources"], args.newdir)
     clusters = incremental_add(spark, cfg, args.build_dir, new_images,
                                all_images)
     manifest["sources"].append(args.newdir)
@@ -125,6 +175,11 @@ def main(argv: "list[str] | None" = None) -> int:
     p.add_argument("--bands", type=int, default=16)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--bucketed", action="store_true",
+                   help="persist payloads as an image_id-bucketed table "
+                        "beside the build and run verify/add through it "
+                        "(no payload exchange on any image_id join)")
+    p.add_argument("--payload-buckets", type=int, default=32)
     p.set_defaults(fn=cmd_tohnsw)
 
     p = sub.add_parser("add", help="append new images to an existing build")

@@ -28,20 +28,69 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def write_images_bucketed(spark: SparkSession, images: DataFrame,
-                          table: str, buckets: int = 32) -> str:
+                          table: str, buckets: int = 32,
+                          path: "str | None" = None) -> str:
     """Persist the images table bucketed + sorted on image_id.
 
     ``buckets`` should be sized so one bucket's payload fits an executor
     scan task (at 10^12 rows and ~50 KB/row, O(10^5) buckets); the
     sortBy lets parquet row-group stats prune inside each bucket for
-    point lookups.
+    point lookups.  With ``path`` the table is EXTERNAL (data lives
+    beside the build checkpoint instead of the session warehouse) —
+    what the CLI's ``tohnsw --bucketed`` uses.
     """
-    (images.write.mode("overwrite")
-     .bucketBy(buckets, "image_id")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    w = (images.write.mode("overwrite")
+         .bucketBy(buckets, "image_id")
+         .sortBy("image_id")
+         .format("parquet"))
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+    return table
+
+
+def bucket_count(spark: SparkSession, table: str) -> int:
+    """Number of buckets the stored table was written with."""
+    info = {r["col_name"]: r["data_type"]
+            for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect()}
+    return int(info["Num Buckets"])
+
+
+def append_images_bucketed(spark: SparkSession, images: DataFrame,
+                           table: str) -> None:
+    """Append new rows under the table's EXISTING bucket spec (the
+    append-only ``add`` path keeps old payload files untouched — new
+    files land in the matching buckets, exactly Iceberg's append to a
+    bucket-partitioned table).  Callers must ensure id uniqueness; a
+    duplicate image_id would fan out every payload join on it."""
+    (images.write.mode("append")
+     .bucketBy(bucket_count(spark, table), "image_id")
      .sortBy("image_id")
      .format("parquet")
      .saveAsTable(table))
-    return table
+
+
+IMAGES_DDL = ("image_id STRING, bytes BINARY, w INT, h INT, "
+              "fmt STRING, caption STRING, phash BIGINT")
+
+
+def ensure_bucketed_table(spark: SparkSession, table: str, path: str,
+                          buckets: int) -> None:
+    """Re-register the external bucketed payload table in THIS session's
+    catalog if absent.  With the default in-memory catalog, saveAsTable
+    metadata dies with the session while the external data files (whose
+    names carry their bucket ids) survive beside the build — a fresh CLI
+    process re-declares the same bucket spec over the same location and
+    the files read back bucketed.  (On a real deployment with a shared
+    metastore / Iceberg catalog this is a no-op.)"""
+    if not spark.catalog.tableExists(table):
+        spark.sql(f"""
+            CREATE TABLE {table} ({IMAGES_DDL})
+            USING parquet
+            CLUSTERED BY (image_id) SORTED BY (image_id)
+            INTO {buckets} BUCKETS
+            LOCATION '{path}'""")
 
 
 def bucketed_images(spark: SparkSession, table: str) -> DataFrame:

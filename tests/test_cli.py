@@ -47,3 +47,71 @@ def test_cli_tohnsw_request_add(spark, small_fixture_dir, capsys):
     assert len(clusters["image_id"]) == n_old + n_new
     out = capsys.readouterr().out
     assert "tohnsw: built" in out and "request:" in out and "add:" in out
+
+
+def test_cli_bucketed_build_and_add(spark, small_fixture_dir, capsys):
+    """tohnsw --bucketed: payloads persist as an image_id-bucketed
+    external table beside the build; verify/add run through it with the
+    shuffle attach (the 10^12-row path), whose plan never exchanges the
+    payload side; add appends new payloads under the same bucket spec —
+    and re-registers the table in a fresh session (simulated by dropping
+    the catalog entry, which keeps the external files)."""
+    import json
+
+    import pytest
+
+    from gsearch_spark.operators.verify import attach_payloads
+
+    root = "/tmp/gsearch_spark_cli_bucketed"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    tbl = pq.read_table(f"{small_fixture_dir}/images.parquet")
+    old_t, new_t = (tbl.slice(0, tbl.num_rows - 40),
+                    tbl.slice(tbl.num_rows - 40))
+    old, new = f"{root}/old.parquet", f"{root}/new.parquet"
+    pq.write_table(old_t, old)
+    pq.write_table(new_t, new)
+    build = f"{root}/build"
+
+    assert cli_main(["--cores", "8", "tohnsw", "-d", old, "-b", build,
+                     "--no-resume", "--bucketed",
+                     "--payload-buckets", "8"]) == 0
+    man = json.load(open(f"{build}/sources.json"))
+    table = man["payload_table"]
+    assert man["payload_buckets"] == 8
+    assert os.path.isdir(f"{build}/payload")
+    assert spark.table(table).count() == old_t.num_rows
+
+    # plan contract: with broadcast off, the bucketed attach needs
+    # strictly fewer exchanges than the plain-parquet attach (payload
+    # side joins in place; only the pairs/id side shuffles)
+    pairs = spark.createDataFrame(
+        [("img_00000001", "img_00000002", "t")],
+        schema="a string, b string, src string")
+    plain = spark.read.parquet(old)
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def n_exch(df):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return plan.count("Exchange hashpartitioning")
+        n_b = n_exch(attach_payloads(pairs, spark.table(table),
+                                     strategy="shuffle"))
+        n_p = n_exch(attach_payloads(pairs, plain, strategy="shuffle"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert n_b < n_p, (n_b, n_p)
+
+    # fresh-session simulation: drop ONLY the catalog entry (external
+    # data files stay); add must re-register from sources.json
+    spark.sql(f"DROP TABLE {table}")
+    assert cli_main(["--cores", "8", "add", "-b", build, "-n", new]) == 0
+    assert spark.table(table).count() == tbl.num_rows
+    clusters = pq.read_table(f"{build}/clusters").to_pydict()
+    assert len(clusters["image_id"]) == tbl.num_rows
+
+    # a retried add must refuse BEFORE planting duplicate payload rows
+    with pytest.raises(ValueError, match="refusing to append"):
+        cli_main(["--cores", "8", "add", "-b", build, "-n", new])
+    assert spark.table(table).count() == tbl.num_rows
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
