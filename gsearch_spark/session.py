@@ -23,9 +23,16 @@ def get_spark(app: str = "gsearch_spark", cores: int | None = None,
     builder = SparkSession.builder
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # under tools/submit.sh (real spark-submit), the master / deploy
+    # mode / executor sizing come from the submit command line — setting
+    # .master here would override them, so the launcher exports
+    # SPARK_GRAFT_MASTER=from-submit to leave them alone
+    m = master or os.environ.get("SPARK_GRAFT_MASTER") \
+        or f"local[{cores}]"
+    if m != "from-submit":
+        builder = builder.master(m)
     return (
         builder
-        .master(master or f"local[{cores}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
