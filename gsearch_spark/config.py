@@ -97,6 +97,13 @@ class PipelineConfig:
     # O(affected/cluster_buckets of the corpus), not O(corpus).  Size it
     # so one bucket ~ a few GB at the target scale (10^5+ at 10^12 rows)
     cluster_buckets: int = 64
+    # append-only add: the contracted label graph (O(new edges)) runs
+    # driver-local union-find below this edge count — per-iteration job
+    # latency of distributed CC dwarfs the work at append sizes — and
+    # falls back to distributed star CC above it (a 1M-edge list is
+    # ~100 MB on the driver; bulk-append jobs beyond that are closer to
+    # rebuilds anyway)
+    add_cc_local_max_edges: int = 1_000_000
     # append-only add: per-new-item candidate cap applied AFTER the phash
     # prefilter (only plausible pairs compete for slots) — bounds the
     # verify decode cost of one appended viral duplicate at O(cap) instead

@@ -102,6 +102,50 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
     return children.union(roots).distinct()
 
 
+def union_find(edge_list: "list[tuple[str, str]]") -> "dict[str, str]":
+    """Driver-local CC: node -> min member of its component.
+
+    The small-graph fast path for the append path's CONTRACTED label
+    graph (operators/pipeline.py::incremental_add): after contraction
+    the edge count is O(new verified edges) — thousands per daily
+    append even at a 10^12-row corpus — and the distributed star
+    algorithm's per-iteration job latency (~0.5 s x O(log^2 n) rounds)
+    dwarfs the actual work.  Classic union-find with path compression +
+    union by size, then each component labelled by its lexicographic
+    minimum member (the same normalization contract as the distributed
+    path, so the two are interchangeable — asserted by the add-parity
+    tests which run both regimes via the config threshold)."""
+    parent: "dict[str, str]" = {}
+    size: "dict[str, int]" = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:          # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_list:
+        for n in (a, b):
+            if n not in parent:
+                parent[n] = n
+                size[n] = 1
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if size[ra] < size[rb]:
+                ra, rb = rb, ra
+            parent[rb] = ra
+            size[ra] += size[rb]
+
+    comp_min: "dict[str, str]" = {}
+    for n in parent:
+        r = find(n)
+        if r not in comp_min or n < comp_min[r]:
+            comp_min[r] = n
+    return {n: comp_min[find(n)] for n in parent}
+
+
 def assign_clusters(edges: DataFrame, images: DataFrame,
                     checkpoint_dir: "str | None" = None) -> DataFrame:
     """Full assignment incl. singletons: every image gets a cluster_id."""

@@ -32,7 +32,7 @@ from gsearch_spark.fs import CheckpointFS
 from gsearch_spark.operators.banding import build_bands
 from gsearch_spark.operators.candidates import bucket_stats, emit_bucket_pairs
 from gsearch_spark.operators.cc import (assign_clusters,
-                                        connected_components)
+                                        connected_components, union_find)
 from gsearch_spark.operators.exact import (exact_groups, expand_clusters,
                                            representatives)
 from gsearch_spark.operators.signatures import compute_signatures
@@ -221,8 +221,13 @@ class NearDupPipeline:
             rep_clusters = assign_clusters(edges, images_rep,
                                            checkpoint_dir=cc_dir)
             path = self._path("clusters")
+            # repartition ON the partition column first: without it every
+            # task writes a file into every pbucket dir (tasks x buckets
+            # small files — measured 3x stage cost at 213k rows); with it
+            # each bucket is one task writing one file
             (expand_clusters(rep_clusters, groups)
              .withColumn("pbucket", cluster_pbucket(self.cfg))
+             .repartition(self.cfg.cluster_buckets, F.col("pbucket"))
              .write.mode("overwrite").partitionBy("pbucket").parquet(path))
             clusters = self.spark.read.parquet(path)
             clusters = self._record("clusters", clusters, t0, skipped=False)
@@ -382,12 +387,23 @@ def incremental_add(spark: SparkSession, cfg: PipelineConfig,
                    .select("image_id"))
     reps_imgs = (all_images.join(all_rep_ids, "image_id", "left_semi")
                  .select("phash", "image_id", "caption"))
-    touched_ph = (to_sketch.select("phash").distinct())
+    # touched phash groups: a semi join can't prune the corpus scan, but
+    # the touched set is bounded by the NEW rep count — when small
+    # enough to ship as literals, push it down as an isin() filter so
+    # parquet row-group stats prune the scan (on a phash-sorted /
+    # z-ordered Iceberg table this turns the per-add suffix input read
+    # into O(touched groups) IO); bulk appends past the cap fall back to
+    # the semi join
+    ph_vals = [r[0] for r in to_sketch.select("phash").distinct()
+               .limit(10_001).collect()]
+    if len(ph_vals) <= 10_000:
+        touched_reps = reps_imgs.filter(F.col("phash").isin(ph_vals))
+    else:
+        touched_reps = reps_imgs.join(
+            to_sketch.select("phash").distinct(), "phash", "left_semi")
     # sfx feeds BOTH union arms below — cut it first, or the shared
     # exchange under the two consumers trips the AQE reuse bug
-    sfx = suffix_candidate_pairs(reps_imgs.join(touched_ph, "phash",
-                                                "left_semi")) \
-        .localCheckpoint()
+    sfx = suffix_candidate_pairs(touched_reps).localCheckpoint()
     sfx_new = (sfx.join(new_rep_ids.withColumnRenamed("image_id", "a"),
                         "a", "left_semi")
                .unionByName(
@@ -460,7 +476,18 @@ def incremental_add(spark: SparkSession, cfg: PipelineConfig,
                    .filter(F.col("a") != F.col("b"))
                    .distinct().localCheckpoint())
     pipe._record("add_cc_edges", label_edges, t0, skipped=False)
-    rep_cc = connected_components(label_edges).localCheckpoint()
+    n_label_edges = pipe.records[-1].rows_out
+    if n_label_edges <= cfg.add_cc_local_max_edges:
+        # small-graph fast path: the contracted graph is O(new edges);
+        # driver union-find beats O(log^2 n) distributed rounds of
+        # per-job latency at append sizes (identical min-member labels)
+        mapping = union_find([(r["a"], r["b"])
+                              for r in label_edges.collect()])
+        rep_cc = spark.createDataFrame(
+            sorted(mapping.items()),
+            schema="image_id string, cluster_id string")
+    else:
+        rep_cc = connected_components(label_edges).localCheckpoint()
 
     # affected clusters: merged old labels ∪ clusters whose exact-groups
     # gained members (their min MEMBER id — the label under the
@@ -527,6 +554,7 @@ def incremental_add(spark: SparkSession, cfg: PipelineConfig,
             .select("image_id", "cluster_id"))
     (kept.unionByName(delta)
      .withColumn("pbucket", _pb("cluster_id"))
+     .repartition(max(len(touched), 1), F.col("pbucket"))
      .write.mode("overwrite").partitionBy("pbucket")
      .parquet(f"{staging}/clusters"))
     staged_clusters = spark.read.parquet(f"{staging}/clusters")

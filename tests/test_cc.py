@@ -62,3 +62,31 @@ def test_cc_deterministic_across_partitionings(spark):
     c2 = {r["image_id"]: r["cluster_id"]
           for r in connected_components(e2).collect()}
     assert c1 == c2
+
+
+def test_union_find_matches_distributed(spark):
+    """Driver-local union-find (the add path's contracted-graph fast
+    path) labels components identically to the distributed star CC:
+    min member, every edge endpoint covered."""
+    import random
+
+    from gsearch_spark.operators.cc import connected_components, union_find
+
+    rng = random.Random(7)
+    nodes = [f"n{i:03d}" for i in range(60)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    local = union_find(edges)
+    df = spark.createDataFrame(edges, schema="a string, b string")
+    dist = {r["image_id"]: r["cluster_id"]
+            for r in connected_components(df).collect()}
+    assert local == dist
+
+
+def test_union_find_empty_and_chain():
+    from gsearch_spark.operators.cc import union_find
+    assert union_find([]) == {}
+    chain = [(f"c{i}", f"c{i+1}") for i in range(50)]
+    out = union_find(chain)
+    assert set(out.values()) == {"c0"} and len(out) == 51

@@ -265,3 +265,21 @@ def test_add_commit_crash_rolls_forward(spark, add_build, monkeypatch):
     # 1st swap — AFTER its live partition dir was already deleted, the
     # nastiest window
     crash_scenario("/tmp/gsearch_spark_ckpt_crash_b", "rename", 1)
+
+
+def test_incremental_add_distributed_cc_fallback(spark, add_build):
+    """add_cc_local_max_edges=0 forces the DISTRIBUTED star-CC path for
+    the contracted label graph (the bulk-append regime); cluster
+    assignments must equal the driver-local fast path's."""
+    import dataclasses
+    cfg = dataclasses.replace(CFG, add_cc_local_max_edges=0)
+    images = add_build["images"]
+    ids = sorted(r["image_id"] for r in images.select("image_id").collect())
+    cut = ids[int(len(ids) * 0.8)]
+    old = images.filter(F.col("image_id") < cut)
+    new = images.filter(F.col("image_id") >= cut)
+    ckpt = "/tmp/gsearch_spark_ckpt_distcc"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    NearDupPipeline(spark, cfg, ckpt).run(old, resume=False)
+    added = _assign(incremental_add(spark, cfg, ckpt, new, images))
+    assert added == add_build["added"]
