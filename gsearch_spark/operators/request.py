@@ -48,12 +48,27 @@ ANSWERS_SCHEMA = ("query_id string, target_id string, j_est double, "
 
 
 def probe_candidates(query_bands: DataFrame, stored_bands: DataFrame,
-                     broadcast_probe: bool = True) -> DataFrame:
+                     broadcast_probe: bool = True,
+                     max_bucket_probe: "int | None" = None) -> DataFrame:
     """(query_id, target_id) candidates: probe bands ⋈ stored bands.
 
     The stored table carries one row per (band_id, image_id) — salt is a
     function of (image_id, band_id) — so the equi-join yields at most one
     row per (query, target, band); distinct collapses multi-band hits.
+
+    Viral-bucket guard (off by default — exact answers): the stored-side
+    salt bounds the BUILD self-join, but a probe matches a bucket across
+    all its salts, so a query landing in a viral bucket (10^6 stored
+    copies of one meme) joins against every member.  With
+    ``max_bucket_probe`` set, touched buckets (semi join on the probe
+    keys) are first capped to that many members in xxhash64 order — the
+    same bounded-heads policy as the append path's
+    ``probe_pairs_vs_stored`` — making per-probe cost O(bands x cap)
+    instead of O(bucket size), at the price of approximate top-k inside
+    buckets larger than the cap (any cap >= k keeps a distance-0 true
+    duplicate reachable in expectation across ~27 band families).  Set
+    it on 10^12-row deployments; leave None when exact per-bucket
+    ranking matters more than tail latency.
     """
     qb = query_bands.select(F.col("image_id").alias("query_id"),
                             "band_id", "band_hash")
@@ -61,6 +76,16 @@ def probe_candidates(query_bands: DataFrame, stored_bands: DataFrame,
         qb = F.broadcast(qb)
     bb = stored_bands.select("band_id", "band_hash",
                              F.col("image_id").alias("target_id"))
+    if max_bucket_probe is not None:
+        keys = query_bands.select("band_id", "band_hash").distinct()
+        if broadcast_probe:
+            keys = F.broadcast(keys)
+        wk = (Window.partitionBy("band_id", "band_hash")
+              .orderBy(F.xxhash64("target_id"), "target_id"))
+        bb = (bb.join(keys, ["band_id", "band_hash"], "left_semi")
+              .withColumn("rn", F.row_number().over(wk))
+              .filter(F.col("rn") <= max_bucket_probe)
+              .drop("rn"))
     return (bb.join(qb, ["band_id", "band_hash"])
             .filter(F.col("query_id") != F.col("target_id"))  # J5 analog
             .select("query_id", "target_id")
@@ -133,7 +158,8 @@ def request(spark: SparkSession, checkpoint_dir: str,
             query_images: DataFrame, k: int = 5,
             max_distance: float = 0.99,
             cfg: PipelineConfig | None = None,
-            broadcast_probe: bool = True) -> DataFrame:
+            broadcast_probe: bool = True,
+            max_bucket_probe: "int | None" = None) -> DataFrame:
     """Top-k neighbors for each query image against a stored build.
 
     * Reloads the build's parameters.json; if ``cfg`` is supplied it must
@@ -164,6 +190,7 @@ def request(spark: SparkSession, checkpoint_dir: str,
     stored_bands = spark.read.parquet(f"{checkpoint_dir}/bands")
     stored_sigs = spark.read.parquet(f"{checkpoint_dir}/signatures")
     cands = probe_candidates(q_bands, stored_bands,
-                             broadcast_probe=broadcast_probe)
+                             broadcast_probe=broadcast_probe,
+                             max_bucket_probe=max_bucket_probe)
     return rank_answers(cands, q_sigs, stored_sigs, cfg, k, max_distance,
                         broadcast_probe=broadcast_probe)

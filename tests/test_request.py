@@ -151,3 +151,30 @@ def test_request_answers_carry_ani(spark, built, query_df):
             assert abs(r["ani_m2"] - want2) < 1e-6
         if r["rank"] == 1 and r["distance"] == 0.0:
             assert r["ani"] == 100.0 and r["ani_m2"] == 100.0
+
+
+def test_probe_candidates_viral_bucket_cap(spark):
+    """Viral-bucket guard: with max_bucket_probe set, a probe landing in
+    a huge stored bucket joins only the capped xxhash64-ordered heads —
+    never the whole bucket — while small buckets match in full and the
+    default (None) stays exact."""
+    from gsearch_spark.operators.request import probe_candidates
+    stored = spark.createDataFrame(
+        [(1, 777, 0, f"v_{i:05d}") for i in range(500)]     # viral
+        + [(2, 888, 0, f"s_{i}") for i in range(3)],        # small
+        schema="band_id int, band_hash bigint, salt int, image_id string")
+    probe = spark.createDataFrame(
+        [("q1", 1, 777), ("q1", 2, 888)],
+        schema="image_id string, band_id int, band_hash bigint")
+
+    exact = probe_candidates(probe, stored)
+    assert exact.count() == 503
+
+    capped = probe_candidates(probe, stored, max_bucket_probe=16)
+    got = {r["target_id"] for r in capped.collect()}
+    ranked = spark.createDataFrame(
+        [(f"v_{i:05d}",) for i in range(500)], schema="image_id string")
+    heads = {r["image_id"] for r in ranked.selectExpr(
+        "image_id", "xxhash64(image_id) AS h")
+        .orderBy("h", "image_id").limit(16).collect()}
+    assert got == heads | {f"s_{i}" for i in range(3)}
