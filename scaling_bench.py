@@ -65,9 +65,18 @@ def _run(cores: int, n_base: int, multi_jvm: int = 0) -> dict:
         cmd += ["--multi-jvm", str(multi_jvm)]
     out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
                          timeout=3600, env=env)
-    if out.returncode != 0:
+    # tolerate the local-cluster teardown race (worker->master RPC after
+    # master stop flips the exit code AFTER the result line printed):
+    # accept the run if stdout carries a valid result JSON line
+    rec = None
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            rec = json.loads(line)
+            break
+        except ValueError:
+            continue
+    if rec is None:
         raise RuntimeError(f"bench_job c{cores} failed:\n{out.stderr[-3000:]}")
-    rec = json.loads(out.stdout.strip().splitlines()[-1])
     rec["wall_sec"] = round(time.time() - t0, 1)
     shutil.rmtree(SHM, ignore_errors=True)
     return rec
