@@ -283,3 +283,34 @@ def test_incremental_add_distributed_cc_fallback(spark, add_build):
     NearDupPipeline(spark, cfg, ckpt).run(old, resume=False)
     added = _assign(incremental_add(spark, cfg, ckpt, new, images))
     assert added == add_build["added"]
+
+
+def test_incremental_add_four_generations(spark, small_fixture_dir):
+    """Endurance: FOUR sequential adds (hash-interleaved slices, so every
+    generation contains ids sorting below existing reps and duplicates of
+    rows from several earlier generations).  Clusters must equal a
+    from-scratch rebuild after the last add — compounding errors in rank
+    continuation, label re-normalization, bucket swaps or checkpoint
+    appends across generations would surface here — and the clusters
+    checkpoint must hold exactly one row per image."""
+    images = spark.read.parquet(f"{small_fixture_dir}/images.parquet")
+    bucket = F.pmod(F.xxhash64("image_id"), F.lit(8))
+    slices = [images.filter(bucket <= 4)] + [
+        images.filter(bucket == b) for b in (5, 6, 7)]
+
+    ckpt = "/tmp/gsearch_spark_ckpt_add4gen"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    NearDupPipeline(spark, CFG, ckpt).run(slices[0], resume=False)
+    sofar = slices[0]
+    added = None
+    for s in slices[1:]:
+        sofar = sofar.unionByName(s)
+        added = _assign(incremental_add(spark, CFG, ckpt, s, sofar))
+
+    shutil.rmtree(CKPT_FULL, ignore_errors=True)
+    full = _assign(NearDupPipeline(spark, CFG, CKPT_FULL).run(
+        images, resume=False))
+    assert added == full
+    clusters = spark.read.parquet(os.path.join(ckpt, "clusters"))
+    assert clusters.count() == images.count()
+    assert clusters.select("image_id").distinct().count() == images.count()
