@@ -21,7 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from gsearch_spark.config import PipelineConfig  # noqa: E402
-from gsearch_spark.operators import ann, relational, text, textdedup  # noqa: E402
+from gsearch_spark.operators import (ann, bloomslice, relational,  # noqa: E402
+                                     text, textdedup)
 
 _CACHE_ROOT = "/tmp/gsearch_spark_entry"
 _CFG = PipelineConfig()
@@ -196,6 +197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fracminhash_containment": textdedup.q_fracminhash_containment,
         "kmv_distinct_shingles": textdedup.q_kmv_distinct,
         "kmv_union_cardinality": textdedup.q_kmv_union_cardinality,
+        "bloom_bitslice_screen": bloomslice.q_bloom_bitslice_screen,
         # text analysis
         "token_count": text.q_token_count,
         "quality_score": text.q_quality_score,
@@ -246,6 +248,7 @@ def oracle_sql() -> dict[str, str]:
         "fracminhash_containment": textdedup.SQL_FRACMINHASH_CONTAINMENT,
         "kmv_distinct_shingles": textdedup.SQL_KMV_DISTINCT,
         "kmv_union_cardinality": textdedup.SQL_KMV_UNION_CARDINALITY,
+        "bloom_bitslice_screen": bloomslice.SQL_BLOOM_BITSLICE_SCREEN,
         "token_count": text.SQL_TOKEN_COUNT,
         "quality_score": text.SQL_QUALITY_SCORE,
         "lang_guess": text.SQL_LANG_GUESS,
