@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_shingles": textdedup.q_kmv_distinct,
         "kmv_union_cardinality": textdedup.q_kmv_union_cardinality,
         "bloom_bitslice_screen": bloomslice.q_bloom_bitslice_screen,
+        "bloom_screen_significance": bloomslice.q_bloom_screen_significance,
         # text analysis
         "token_count": text.q_token_count,
         "quality_score": text.q_quality_score,
@@ -249,6 +250,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct_shingles": textdedup.SQL_KMV_DISTINCT,
         "kmv_union_cardinality": textdedup.SQL_KMV_UNION_CARDINALITY,
         "bloom_bitslice_screen": bloomslice.SQL_BLOOM_BITSLICE_SCREEN,
+        "bloom_screen_significance": bloomslice.SQL_BLOOM_SCREEN_SIGNIFICANCE,
         "token_count": text.SQL_TOKEN_COUNT,
         "quality_score": text.SQL_QUALITY_SCORE,
         "lang_guess": text.SQL_LANG_GUESS,

@@ -54,8 +54,72 @@ MIN_CONTAINMENT = 0.02
 A1, B1 = 1_299_721, 104_729
 A2, B2 = 15_485_863, 32_452_843
 
+# final SELECTs use only engine-shared syntax (CAST, round, ln, pow)
+FINAL_SCREEN = f"""
+      SELECT s.query_id, t.doc_id AS target_id,
+             z.n AS n_shingles, s.contained,
+             round(cast(s.contained AS double) / z.n, 6) AS containment
+      FROM scores s
+      JOIN targets t ON t.idx = s.idx
+      JOIN qsizes z ON z.doc_id = s.query_id
+      WHERE cast(s.contained AS double) / z.n >= {MIN_CONTAINMENT}
+    """
 
-def _spark_sql() -> str:
+
+def _final_significance(tfill_sql: str) -> str:
+    """C7 Bloom-match significance (reference binaux bigsig match
+    scoring): -ln of a Chernoff/KL upper bound on the binomial tail
+    P[X >= contained] under the null that every query shingle hits the
+    target's filter only by chance (per-shingle FP = fill^h for h
+    independent bit hashes).  neg_ln_p = n * KL(c || p2) for c > p2,
+    0 otherwise; c = 1 degenerates to n * ln(1/p2).  Closed form in
+    ln/pow only, so Spark and DuckDB agree to rounding."""
+    return f"""
+      SELECT query_id, target_id, n_shingles, contained, containment,
+             fill,
+             round(CASE
+               WHEN c <= p2 THEN 0.0
+               WHEN c >= 1.0 THEN n_shingles * ln(1.0 / p2)
+               ELSE n_shingles * (c * ln(c / p2)
+                                  + (1.0 - c) * ln((1.0 - c)
+                                                   / (1.0 - p2)))
+             END, 4) AS neg_ln_p
+      FROM (
+        SELECT s.query_id, t.doc_id AS target_id, z.n AS n_shingles,
+               s.contained,
+               round(cast(s.contained AS double) / z.n, 6) AS containment,
+               round(cast(f.bits_set AS double) / {M_BITS}, 6) AS fill,
+               cast(s.contained AS double) / z.n AS c,
+               pow(cast(f.bits_set AS double) / {M_BITS},
+                   {N_HASHES}) AS p2
+        FROM scores s
+        JOIN targets t ON t.idx = s.idx
+        JOIN qsizes z ON z.doc_id = s.query_id
+        JOIN ({tfill_sql}) f ON f.idx = s.idx
+        WHERE cast(s.contained AS double) / z.n >= {MIN_CONTAINMENT}
+      ) x
+    """
+
+
+# per-target Bloom fill (popcount of the target's column across slices)
+TFILL_SPARK = f"""SELECT w * {WORD_BITS} + p AS idx,
+               count(*) AS bits_set
+        FROM tslices LATERAL VIEW explode(
+          sequence(0, {WORD_BITS - 1})) e AS p
+        WHERE (shiftright(word, p) & 1) = 1
+        GROUP BY w * {WORD_BITS} + p"""
+TFILL_DUCK = f"""SELECT w * {WORD_BITS} + p AS idx,
+               count(*) AS bits_set
+        FROM tslices, unnest(generate_series(0, {WORD_BITS - 1})) AS e(p)
+        WHERE ((word >> p::INT) & 1) = 1
+        GROUP BY w * {WORD_BITS} + p"""
+
+
+def _spark_sql(final: str = FINAL_SCREEN) -> str:
+    return _spark_cte() + final
+
+
+def _spark_cte() -> str:
     return _spark_shingles(_spark_docs_with_dups()) + f"""
       , targets AS (
         SELECT doc_id,
@@ -107,17 +171,14 @@ def _spark_sql() -> str:
         FROM hashed h JOIN qdocs q ON h.doc_id = q.doc_id
         GROUP BY h.doc_id
       )
-      SELECT s.query_id, t.doc_id AS target_id,
-             z.n AS n_shingles, s.contained,
-             round(cast(s.contained AS double) / z.n, 6) AS containment
-      FROM scores s
-      JOIN targets t ON t.idx = s.idx
-      JOIN qsizes z ON z.doc_id = s.query_id
-      WHERE cast(s.contained AS double) / z.n >= {MIN_CONTAINMENT}
     """
 
 
-def _duck_sql() -> str:
+def _duck_sql(final: str = FINAL_SCREEN) -> str:
+    return _duck_cte() + final
+
+
+def _duck_cte() -> str:
     return _duck_shingles(_duck_docs_with_dups()) + f"""
       , targets AS (
         SELECT doc_id,
@@ -167,13 +228,6 @@ def _duck_sql() -> str:
         FROM hashed h JOIN qdocs q ON h.doc_id = q.doc_id
         GROUP BY h.doc_id
       )
-      SELECT s.query_id, t.doc_id AS target_id,
-             z.n AS n_shingles, s.contained,
-             round(s.contained::DOUBLE / z.n, 6) AS containment
-      FROM scores s
-      JOIN targets t ON t.idx = s.idx
-      JOIN qsizes z ON z.doc_id = s.query_id
-      WHERE s.contained::DOUBLE / z.n >= {MIN_CONTAINMENT}
     """
 
 
@@ -184,4 +238,13 @@ def q_bloom_bitslice_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_spark_sql())
 
 
+def q_bloom_screen_significance(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """C7 gate: screen rows + per-target fill + Chernoff -ln p of the
+    observed containment under the chance-hit null."""
+    _register(spark, sf_dir)
+    return spark.sql(_spark_sql(_final_significance(TFILL_SPARK)))
+
+
 SQL_BLOOM_BITSLICE_SCREEN = _duck_sql()
+SQL_BLOOM_SCREEN_SIGNIFICANCE = _duck_sql(_final_significance(TFILL_DUCK))

@@ -66,3 +66,35 @@ def test_bloom_screen_bounds_true_containment(spark):
         if true == 1.0:
             assert v == 1.0
     assert all(v >= MIN_CONTAINMENT for v in got.values())
+
+
+def test_bloom_significance_matches_formula(spark):
+    """C7: neg_ln_p equals the Chernoff/KL bound recomputed in python
+    from the integer inputs (contained, n, bits_set) — and subset
+    matches (c == 1) are overwhelmingly significant while the FP floor
+    stays near zero."""
+    import math
+
+    from gsearch_spark.operators.bloomslice import (
+        N_HASHES, q_bloom_screen_significance)
+
+    rows = q_bloom_screen_significance(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        n = r["n_shingles"]
+        c = r["contained"] / n
+        p2 = r["fill"] ** N_HASHES      # fill rounded to 6 decimals
+        if c >= 1.0:
+            want = n * math.log(1.0 / p2)
+        elif c <= p2:
+            want = 0.0
+        else:
+            want = n * (c * math.log(c / p2)
+                        + (1.0 - c) * math.log((1.0 - c) / (1.0 - p2)))
+        # tolerance covers the 6-decimal rounding of fill feeding p2
+        assert abs(r["neg_ln_p"] - want) < max(0.05, n * 1e-3),             (r["query_id"], r["target_id"], r["neg_ln_p"], want)
+        assert r["neg_ln_p"] >= 0.0
+    part = [r["neg_ln_p"] for r in rows if r["containment"] < 1.0]
+    full = [r["neg_ln_p"] for r in rows if r["containment"] == 1.0]
+    assert full and min(full) > 50   # subset matches: overwhelming
+    assert part and min(part) < 20   # FP floor: not "significant"
