@@ -69,6 +69,10 @@ def append_images_bucketed(spark: SparkSession, images: DataFrame,
      .sortBy("image_id")
      .format("parquet")
      .saveAsTable(table))
+    # invalidate the shared relation cache: appends from a cloned
+    # session (streaming foreachBatch) must be visible to every other
+    # session reading the table
+    spark.catalog.refreshTable(table)
 
 
 IMAGES_DDL = ("image_id STRING, bytes BINARY, w INT, h INT, "

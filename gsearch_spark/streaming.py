@@ -140,3 +140,62 @@ def run_available_now(stream_df: DataFrame, name: str,
          .start())
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+IMAGES_SCHEMA = ("image_id string, bytes binary, w int, h int, "
+                 "fmt string, caption string, phash bigint")
+
+
+def stream_append_images(spark: SparkSession, cfg, checkpoint_dir: str,
+                         source_dir: str, payload_table: str,
+                         stream_checkpoint: str,
+                         max_files_per_trigger: int = 1):
+    """Continuous ingest: the streaming productization of the
+    reference's ``add`` subcommand (gsearch src/bin/gsearch.rs:488-505)
+    — "daily appends" become a file-source stream.
+
+    Every micro-batch of new images (1) drops ids already present in
+    the build (anti join against the stored exact_groups keys — this
+    makes a REPLAYED batch a no-op, so the at-least-once file source
+    composes with the add's id-clash refusal instead of tripping it),
+    (2) appends the surviving payloads into the bucketed payload table
+    under its existing bucket spec, and (3) runs the append-only
+    :func:`incremental_add` against the stored build.  A crash mid-add
+    is rolled forward by the next batch's ``recover_add_commit`` (the
+    add calls it on entry).
+
+    Returns the StreamingQuery; run with ``trigger(availableNow=True)``
+    + ``awaitTermination`` for deterministic drains (tests), or leave
+    running against an ingest directory in production.
+
+    Reader caveat: Spark's table-relation cache is PER-SESSION, so a
+    session that read the payload table BEFORE the stream must
+    ``spark.catalog.refreshTable(payload_table)`` to see the appends
+    (the foreachBatch clones refresh their own view; a shared
+    metastore/Iceberg catalog deployment refreshes via snapshot
+    metadata instead).
+    """
+    from gsearch_spark.bucketed import append_images_bucketed
+    from gsearch_spark.operators.pipeline import incremental_add
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        known = (batch_df.sparkSession.read
+                 .parquet(f"{checkpoint_dir}/exact_groups")
+                 .select("image_id"))
+        fresh = batch_df.join(known, "image_id", "left_anti") \
+                        .localCheckpoint()
+        if fresh.isEmpty():
+            return
+        append_images_bucketed(batch_df.sparkSession, fresh, payload_table)
+        incremental_add(batch_df.sparkSession, cfg, checkpoint_dir, fresh,
+                        batch_df.sparkSession.table(payload_table))
+
+    stream = (spark.readStream
+              .schema(IMAGES_SCHEMA)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(source_dir))
+    return (stream.writeStream
+            .foreachBatch(on_batch)
+            .option("checkpointLocation", stream_checkpoint)
+            .trigger(availableNow=True)
+            .start())
