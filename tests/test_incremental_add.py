@@ -314,3 +314,31 @@ def test_incremental_add_four_generations(spark, small_fixture_dir):
     clusters = spark.read.parquet(os.path.join(ckpt, "clusters"))
     assert clusters.count() == images.count()
     assert clusters.select("image_id").distinct().count() == images.count()
+
+
+def test_small_add_prunes_clusters_rewrite(spark, small_fixture_dir):
+    """Partition-pruning proof for the common case — a SMALL append:
+    3 fresh rows (same pixels as existing images but unrelated captions,
+    so they verify as non-dups and land as singletons) must touch only
+    their own pbuckets: the staged clusters rewrite covers a fraction of
+    the corpus, not all of it, and the cluster delta is exactly the new
+    rows."""
+    images = spark.read.parquet(f"{small_fixture_dir}/images.parquet")
+    ckpt = "/tmp/gsearch_spark_ckpt_smalladd"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    NearDupPipeline(spark, CFG, ckpt).run(images, resume=False)
+
+    tiny = (images.limit(3)
+            .selectExpr("concat('zz_', image_id) AS image_id", "bytes",
+                        "w", "h", "fmt",
+                        "concat('q-', md5(image_id)) AS caption", "phash"))
+    incremental_add(spark, CFG, ckpt, tiny, images.unionByName(tiny))
+
+    n_total = images.count() + 3
+    state = _state_rows(spark, ckpt)
+    assert state["add_clusters"] == 3          # delta = the new singletons
+    # rewrite touched <= 3 of cluster_buckets partitions
+    assert state["add_clusters_rewrite"] <= n_total * (
+        3 / CFG.cluster_buckets) + 3 + n_total * 0.05
+    clusters = spark.read.parquet(os.path.join(ckpt, "clusters"))
+    assert clusters.count() == n_total
