@@ -90,3 +90,46 @@ def test_union_find_empty_and_chain():
     chain = [(f"c{i}", f"c{i+1}") for i in range(50)]
     out = union_find(chain)
     assert set(out.values()) == {"c0"} and len(out) == 51
+
+
+def test_union_find_property_random_graphs():
+    """Property check (hypothesis): union_find labels every node by the
+    minimum of its reachability class, for arbitrary small multigraphs
+    with self-loops and duplicate edges."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gsearch_spark.operators.cc import union_find
+
+    node = st.integers(min_value=0, max_value=25)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.tuples(node, node), max_size=80))
+    def check(pairs):
+        edges = [(f"n{a:02d}", f"n{b:02d}") for a, b in pairs if a != b]
+        got = union_find(edges)
+        # brute-force reachability closure over the same edges
+        nodes = {x for e in edges for x in e}
+        adj = {x: set() for x in nodes}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        want = {}
+        seen = set()
+        for start in sorted(nodes):
+            if start in seen:
+                continue
+            comp, stack = set(), [start]
+            while stack:
+                x = stack.pop()
+                if x in comp:
+                    continue
+                comp.add(x)
+                stack.extend(adj[x] - comp)
+            lo = min(comp)
+            for x in comp:
+                want[x] = lo
+            seen |= comp
+        assert got == want
+
+    check()
