@@ -92,10 +92,12 @@ def _q_images_verified_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_images_topk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rounded=False: full-precision doubles hash bit-identical across
+    # Spark and the DuckDB oracle (round() grid semantics differ)
     from gsearch_spark.operators.report import topk_neighbors
     ckpt = _run_image_pipeline(spark, sf_dir)
     edges = spark.read.parquet(os.path.join(ckpt, "verified_edges"))
-    return topk_neighbors(edges, k=5)
+    return topk_neighbors(edges, k=5, rounded=False)
 
 
 def _q_images_knn_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,6 +169,72 @@ def _q_images_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------------------------- registry
 
+def _oracle_ckpt() -> str:
+    """Checkpoint dir for the sf0.01 pipeline, guaranteed to exist —
+    the report-family oracles point DuckDB's read_parquet at the
+    verified_edges / bands checkpoints (gsearch's reformat / hnsw2knn
+    binaries likewise post-process the dumped index,
+    src/bin/reformat.rs:50-78, src/bin/hnsw2knn.rs:101-171), so the
+    oracle SQL can only be emitted once the build exists no matter
+    which of queries()/oracle_sql() the driver materializes first."""
+    sf_dir = "/root/testdata/sf0.01"
+    fixture = _images_fixture(sf_dir)
+    ckpt = f"{fixture}_ckpt_{_CFG.config_hash()[:10]}"
+    if not os.path.exists(os.path.join(ckpt, "clusters", "_SUCCESS")):
+        from gsearch_spark.session import get_spark
+        _run_image_pipeline(get_spark("gsearch_spark_oracle"), sf_dir)
+    return ckpt
+
+
+_SQL_IMAGES_TOPK_REPORT = """
+WITH edges AS (SELECT * FROM read_parquet('{edges}')),
+bi AS (
+  SELECT a AS query, b AS neighbor, psnr, src FROM edges
+  UNION ALL
+  SELECT b AS query, a AS neighbor, psnr, src FROM edges
+),
+r AS (
+  SELECT query, neighbor, psnr, src,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY psnr DESC, neighbor) AS rank
+  FROM bi
+)
+SELECT query, neighbor, psnr AS psnr_db,
+       1.0 / (1.0 + greatest(psnr, 0.0)) AS distance,
+       src, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= 5
+"""
+
+_SQL_IMAGES_KNN_ADJACENCY = """
+WITH edges AS (SELECT * FROM read_parquet('{edges}')),
+bi AS (
+  SELECT a AS query, b AS neighbor, psnr FROM edges
+  UNION ALL
+  SELECT b AS query, a AS neighbor, psnr FROM edges
+),
+r AS (
+  SELECT query, neighbor,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY psnr DESC, neighbor) AS rank
+  FROM bi
+)
+SELECT query,
+       string_agg(neighbor, ',' ORDER BY neighbor) AS neighbors,
+       CAST(count(*) AS INTEGER) AS degree
+FROM r WHERE rank <= 32
+GROUP BY query
+"""
+
+_SQL_IMAGES_BAND_STATS = """
+SELECT band_id,
+       count(*) AS n_rows,
+       count(DISTINCT band_hash) AS n_buckets,
+       max(salt) AS max_salt
+FROM read_parquet('{bands}')
+GROUP BY band_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # image near-dup pipeline (rows-only checks; the pytest oracle in
@@ -233,7 +301,18 @@ def oracle_sql() -> dict[str, str]:
     # queries()/oracle_sql() the driver materializes first.
     fixture_path = os.path.join(_images_fixture("/root/testdata/sf0.01"),
                                 "images.parquet")
+    ckpt = _oracle_ckpt()
+    edges_glob = os.path.join(ckpt, "verified_edges", "*.parquet")
+    bands_glob = os.path.join(ckpt, "bands", "*.parquet")
     return {
+        # report family: window/group SQL over the build's checkpoint
+        # parquet (DuckDB reads the same files the Spark queries read)
+        "images_topk_report":
+            _SQL_IMAGES_TOPK_REPORT.format(edges=edges_glob),
+        "images_knn_adjacency":
+            _SQL_IMAGES_KNN_ADJACENCY.format(edges=edges_glob),
+        "images_band_stats":
+            _SQL_IMAGES_BAND_STATS.format(bands=bands_glob),
         "images_sig_minhash": sql_images_sig_minhash(fixture_path),
         "images_lsh_pairs_sql": sql_images_lsh_pairs(fixture_path),
         "images_request_ani": sql_images_request_ani(fixture_path),

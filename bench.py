@@ -78,12 +78,16 @@ def main() -> None:
     images = spark.read.parquet(os.path.join(fixture, "images.parquet"))
     n_images = images.count()
 
-    # ---- untimed warm-up (BENCH_WARMUP=0 disables): one pipeline run
-    # over a 1/8 slice absorbs JVM/JIT/codegen/Arrow first-run cost.
-    # Round-3 spread analysis showed the FIRST timed run at 2.4-3.4x the
-    # min with later runs converging — warm-up, not host noise.
-    if os.environ.get("BENCH_WARMUP", "1") != "0":
-        warm = images.limit(max(2_000, n_images // 8))
+    # ---- untimed warm-up (BENCH_WARMUP=0 disables; =small for the old
+    # 1/8-slice variant): one FULL-SIZE pipeline run absorbs JVM/JIT/
+    # codegen/Arrow first-run cost INCLUDING the full-size shuffle/AQE
+    # paths the 1/8 slice missed — round-4's driver-visible first timed
+    # run still sat at 1.9x the min with the small warm-up, vs 1.22x
+    # spread once a full-size pass preceded the timed runs.
+    warmup = os.environ.get("BENCH_WARMUP", "1")
+    if warmup != "0":
+        warm = (images if warmup != "small"
+                else images.limit(max(2_000, n_images // 8)))
         ckpt_w = os.path.join(CACHE, "ckpt_warmup")
         shutil.rmtree(ckpt_w, ignore_errors=True)
         NearDupPipeline(spark, cfg, ckpt_w).run(warm, resume=False)

@@ -70,7 +70,7 @@ def cmd_tohnsw(args) -> int:
         # image_id join (plan-asserted in tests).  The broadcast attach
         # doesn't need bucketing; shuffle is the 10^12-row path where
         # the id set outgrows the driver.
-        from gsearch_spark.bucketed import (bucketed_images,
+        from gsearch_spark.bucketed import (bucketed_images, schema_ddl,
                                             write_images_bucketed)
         table = _payload_table_name(args.build_dir)
         payload_path = os.path.abspath(
@@ -82,7 +82,8 @@ def cmd_tohnsw(args) -> int:
         cfg = dataclasses.replace(cfg, verify_attach="shuffle")
         manifest.update(payload_table=table,
                         payload_path=payload_path,
-                        payload_buckets=args.payload_buckets)
+                        payload_buckets=args.payload_buckets,
+                        payload_schema=schema_ddl(images))
     clusters = NearDupPipeline(spark, cfg, args.build_dir).run(
         images, resume=not args.no_resume)
     fs = CheckpointFS(spark, args.build_dir)
@@ -95,29 +96,41 @@ def cmd_tohnsw(args) -> int:
 def cmd_add(args) -> int:
     from gsearch_spark.config import PipelineConfig
     from gsearch_spark.fs import CheckpointFS
-    from gsearch_spark.operators.pipeline import incremental_add
+    from gsearch_spark.operators.pipeline import (incremental_add,
+                                                  recover_add_commit)
     spark = _spark(args.cores)
     fs = CheckpointFS(spark, args.build_dir)
     cfg = PipelineConfig.reload_via(fs, args.build_dir)  # original config
     manifest = json.loads(fs.read_text(_manifest_path(args.build_dir)))
     new_images = spark.read.parquet(args.newdir)
+    recover_add_commit(spark, args.build_dir)  # torn commit: roll forward
     if manifest.get("payload_table"):
         # bucketed build: append new payloads into the bucketed table
         # under its existing bucket spec, then run the add THROUGH the
-        # table so every payload join stays exchange-free.  The id-clash
-        # check runs FIRST so a retried/duplicate add can't plant
-        # duplicate payload rows (which would fan out every join).
+        # table so every payload join stays exchange-free.  Only ids
+        # MISSING from the payload table are appended — a retried add
+        # whose previous attempt appended payloads but died before the
+        # build commit resumes cleanly instead of refusing forever
+        # (genuine conflicts with the BUILD still refuse inside
+        # incremental_add's id-clash check).
+        from pyspark.sql import functions as F
         from gsearch_spark.bucketed import (append_images_bucketed,
                                             ensure_bucketed_table)
         table = manifest["payload_table"]
         ensure_bucketed_table(spark, table, manifest["payload_path"],
-                              manifest["payload_buckets"])
-        if new_images.join(spark.table(table).select("image_id"),
-                           "image_id", "left_semi").count():
-            raise ValueError(
-                f"{args.newdir} contains image_ids already present in "
-                f"payload table {table}; refusing to append")
-        append_images_bucketed(spark, new_images, table)
+                              manifest["payload_buckets"],
+                              ddl=manifest.get("payload_schema"))
+        ids = [r[0] for r in new_images.select("image_id")
+               .limit(cfg.add_lookup_max_literals + 1).collect()]
+        present = spark.table(table).select("image_id")
+        if len(ids) <= cfg.add_lookup_max_literals:
+            present = present.filter(F.col("image_id").isin(ids))
+        else:
+            present = present.join(new_images.select("image_id"),
+                                   "image_id", "left_semi")
+        missing = new_images.join(present, "image_id", "left_anti")
+        if not missing.isEmpty():
+            append_images_bucketed(spark, missing, table)
         all_images = spark.table(table)
     else:
         all_images = spark.read.parquet(*manifest["sources"], args.newdir)

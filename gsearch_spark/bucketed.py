@@ -79,22 +79,47 @@ IMAGES_DDL = ("image_id STRING, bytes BINARY, w INT, h INT, "
               "fmt STRING, caption STRING, phash BIGINT")
 
 
+def schema_ddl(df: DataFrame) -> str:
+    """DDL column list of a DataFrame's schema — recorded in the build
+    manifest at write time so re-registration declares the schema the
+    table was ACTUALLY written with, not a hardcoded constant."""
+    return ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                     for f in df.schema.fields)
+
+
 def ensure_bucketed_table(spark: SparkSession, table: str, path: str,
-                          buckets: int) -> None:
+                          buckets: int, ddl: "str | None" = None) -> None:
     """Re-register the external bucketed payload table in THIS session's
     catalog if absent.  With the default in-memory catalog, saveAsTable
     metadata dies with the session while the external data files (whose
     names carry their bucket ids) survive beside the build — a fresh CLI
     process re-declares the same bucket spec over the same location and
     the files read back bucketed.  (On a real deployment with a shared
-    metastore / Iceberg catalog this is a no-op.)"""
+    metastore / Iceberg catalog this is a no-op.)
+
+    ``ddl`` is the manifest-recorded column list from write time
+    (:func:`schema_ddl`); without it the default IMAGES_DDL applies.
+    Either way the declared schema is VALIDATED against the parquet
+    footer schema at the location — an evolved/foreign table fails loud
+    instead of silently reading nulls / dropping columns."""
     if not spark.catalog.tableExists(table):
         spark.sql(f"""
-            CREATE TABLE {table} ({IMAGES_DDL})
+            CREATE TABLE {table} ({ddl or IMAGES_DDL})
             USING parquet
             CLUSTERED BY (image_id) SORTED BY (image_id)
             INTO {buckets} BUCKETS
             LOCATION '{path}'""")
+    declared = {(f.name, f.dataType.simpleString())
+                for f in spark.table(table).schema.fields}
+    actual = {(f.name, f.dataType.simpleString())
+              for f in spark.read.parquet(path).schema.fields}
+    if declared != actual:
+        raise ValueError(
+            f"payload table {table} registration does not match the "
+            f"parquet files at {path}: declared-only="
+            f"{sorted(declared - actual)} files-only="
+            f"{sorted(actual - declared)}; the table schema evolved — "
+            "re-register from the build manifest's recorded schema")
 
 
 def bucketed_images(spark: SparkSession, table: str) -> DataFrame:

@@ -38,8 +38,14 @@ class PipelineConfig:
     # (v3: exact_groups carries the content key ck for append-only add;
     #  v4: clusters checkpoint is hive-partitioned by pbucket =
     #  xxhash64(cluster_id) % cluster_buckets so incremental adds rewrite
-    #  only touched partitions)
-    sig_version: int = 4
+    #  only touched partitions;
+    #  v5: builds also persist key-addressed lookup layouts — ck_index
+    #  partitioned by kb = xxhash64(ck) % key_buckets and id_index
+    #  partitioned by ib = xxhash64(image_id) % key_buckets, both sorted
+    #  by their key within files — so the add path's membership / label /
+    #  id-clash probes partition- AND row-group-prune instead of scanning
+    #  corpus-sized key columns)
+    sig_version: int = 5
     # --- shingling (reference: k-mer generation, src/dna/dnasketch.rs:499-518)
     caption_kgram: int = 5           # caption character k-grams
     phash_shingle_bits: int = 16     # width of phash bit n-gram shingles
@@ -109,6 +115,29 @@ class PipelineConfig:
     # verify decode cost of one appended viral duplicate at O(cap) instead
     # of O(existing copies); connectivity needs one surviving edge
     add_max_candidates_per_item: int = 256
+    # key-lookup index layouts (sig_version 5): hive-partition fan-out of
+    # ck_index / id_index.  The add path reads at most
+    # min(|new keys|, key_buckets) partitions per probe, and within a
+    # partition the key-sorted files row-group-prune under the pushed
+    # IN-list, so per-probe IO is O(matched row groups).  Size so one
+    # partition is a few GB at target scale (10^5+ at 10^12 rows; 64 is
+    # the local-test setting).  The reference's add addresses its
+    # persisted index O(1) by rank and never rescans it
+    # (src/dna/dnasketch.rs:106-134) — this is the columnar analog.
+    key_buckets: int = 64
+    # probe key sets up to this size ship as IN-list literals (parquet
+    # row-group stats pruning); larger sets fall back to a semi join over
+    # the partition-pruned slice (still never the whole table)
+    add_lookup_max_literals: int = 10_000
+    # request: per-(band,bucket) stored-member cap, xxhash64-ordered heads
+    # (operators/request.py::probe_candidates).  DEFAULT ON: at 10^12 rows
+    # a query landing in a viral bucket (10^6 stored copies of one meme)
+    # would otherwise join every member; the cap makes per-probe cost
+    # O(bands x cap) while ~27 independent band families keep a true
+    # distance-0 duplicate reachable (P(miss) ~ (1 - cap/size)^bands per
+    # oversized bucket; recall-neutrality on the fixture is pinned in
+    # tests/test_request.py).  0 = exact (no cap).
+    max_bucket_probe: int = 1024
 
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band != self.sketch_size:
@@ -142,6 +171,10 @@ class PipelineConfig:
             raise ValueError(f"unknown verify_attach {self.verify_attach!r}")
         if self.cluster_buckets < 1:
             raise ValueError("cluster_buckets must be >= 1")
+        if self.key_buckets < 1:
+            raise ValueError("key_buckets must be >= 1")
+        if self.max_bucket_probe < 0:
+            raise ValueError("max_bucket_probe must be >= 0 (0 = exact)")
 
     # -- persistence (parameters.json discipline) --------------------------
 

@@ -66,6 +66,13 @@ class CheckpointFS:
             moved += 1
         return moved
 
+    def list_children(self, path: str) -> "list[str]":
+        """Immediate children (files and dirs) of a directory, as full
+        path strings.  Used by the add commit to enumerate staged hive
+        partition dirs (``kb=…`` / ``ib=…``)."""
+        return [str(st.getPath().toString())
+                for st in self._fs.listStatus(self._p(path))]
+
     def write_text(self, path: str, text: str) -> None:
         out = self._fs.create(self._p(path), True)
         try:

@@ -1,0 +1,180 @@
+"""Key-addressed lookup layouts for the append-only add path.
+
+The reference's ``add`` subcommand reloads a persisted index that is
+O(1)-addressable by rank and NEVER rescans it when inserting new items
+(gsearch ``src/dna/dnasketch.rs:106-134``).  Through round 4 our add
+path was compute-O(new) but still performed two keys-only scans of the
+WHOLE stored corpus per append (the ck-membership probe and the
+endpoint-label lookup) — at 10^12 rows that is tens of TB of metadata
+read per daily append.  This module is the columnar analog of the
+reference's addressable index: two small sidecar tables written beside
+the build whose LAYOUT makes point lookups prune to O(probed keys) IO.
+
+``ck_index``  (ck string, rep_id string)
+    One row per exact-content group, hive-partitioned on
+    ``kb = xxhash64(ck) % key_buckets`` and sorted by ``ck`` within
+    files.  Append-only: a group's representative never changes (rank
+    continuation), so adds only ever insert rows for brand-new content
+    keys.
+
+``id_index``  (image_id string, cluster_id string, is_rep boolean,
+               gen int)
+    One row per (image, generation), hive-partitioned on
+    ``ib = xxhash64(image_id) % key_buckets`` and sorted by
+    ``image_id`` within files.  Cluster labels change when components
+    merge, so the table is LSM-style append-only with latest-``gen``
+    wins (the Iceberg merge-on-read analog): each add appends one row
+    per re-labelled / new member at ``gen = <add number>``; lookups
+    resolve ``max_by(cluster_id, gen)``.  ``is_rep`` is immutable and
+    set only on a row's first appearance, so it resolves as
+    ``bool_or`` across generations.  :func:`compact_id_index` rewrites
+    the table down to one row per image (run it offline when the stale
+    fraction grows; at 10^12 scale this is the routine Iceberg
+    rewrite-data-files maintenance job).
+
+Both probes follow one pattern (:func:`_pruned`): the touched partition
+list is computed from the probe keys (at most ``min(|keys|,
+key_buckets)`` values — always driver-collectable) and applied as a
+partition filter; when the probe key set fits
+``cfg.add_lookup_max_literals`` it additionally ships as an IN-list so
+parquet row-group stats on the key-sorted files prune inside each
+partition.  Larger probe sets degrade to a semi join over the
+partition-pruned slice — still never a full-table scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gsearch_spark.config import PipelineConfig
+
+CK_INDEX = "ck_index"
+ID_INDEX = "id_index"
+
+
+def _kb(col: str, buckets: int) -> "F.Column":
+    return F.pmod(F.xxhash64(col), F.lit(buckets)).cast("int")
+
+
+# --------------------------------------------------------------- writers
+
+def write_ck_index(groups: DataFrame, path: str,
+                   cfg: PipelineConfig) -> None:
+    """Full build: one (ck, rep_id) row per exact-content group.
+
+    repartition ON the partition column before partitionBy (each bucket
+    = one task writing one file, not tasks x buckets small files), then
+    sort by ck within the partition so every file's row groups carry
+    tight ck min/max stats for the IN-list probes."""
+    (groups.filter(F.col("image_id") == F.col("rep_id"))
+     .select("ck", "rep_id")
+     .withColumn("kb", _kb("ck", cfg.key_buckets))
+     .repartition(cfg.key_buckets, F.col("kb"))
+     .sortWithinPartitions("ck")
+     .write.mode("overwrite").partitionBy("kb").parquet(path))
+
+
+def write_id_index(clusters: DataFrame, groups: DataFrame, path: str,
+                   cfg: PipelineConfig) -> None:
+    """Full build: one (image_id, cluster_id, is_rep, gen=0) row per
+    image.  ``clusters`` is the expanded (image_id, cluster_id) table;
+    rep-ness joins in from the exact groups."""
+    flags = groups.select("image_id",
+                          (F.col("image_id") == F.col("rep_id"))
+                          .alias("is_rep"))
+    (clusters.select("image_id", "cluster_id")
+     .join(flags, "image_id")
+     .withColumn("gen", F.lit(0))
+     .withColumn("ib", _kb("image_id", cfg.key_buckets))
+     .repartition(cfg.key_buckets, F.col("ib"))
+     .sortWithinPartitions("image_id")
+     .write.mode("overwrite").partitionBy("ib").parquet(path))
+
+
+def stage_ck_append(fresh_groups: DataFrame, staging_dir: str,
+                    cfg: PipelineConfig) -> None:
+    """Stage the add's NEW content-key rows (reps of fresh groups) as a
+    partitioned delta; the commit renames each ``kb=`` dir's files into
+    the live table (parquet part names embed a UUID — no collisions)."""
+    (fresh_groups.filter(F.col("image_id") == F.col("rep_id"))
+     .select("ck", "rep_id")
+     .withColumn("kb", _kb("ck", cfg.key_buckets))
+     .repartition(cfg.key_buckets, F.col("kb"))
+     .sortWithinPartitions("ck")
+     .write.mode("overwrite").partitionBy("kb")
+     .parquet(f"{staging_dir}/{CK_INDEX}"))
+
+
+def stage_id_append(delta: DataFrame, gen: int, staging_dir: str,
+                    cfg: PipelineConfig) -> None:
+    """Stage the add's (image_id, cluster_id, is_rep) delta rows at
+    generation ``gen`` (strictly increasing per add, carried in the
+    commit manifest so a torn commit can roll forward idempotently)."""
+    (delta.select("image_id", "cluster_id", "is_rep")
+     .withColumn("gen", F.lit(gen))
+     .withColumn("ib", _kb("image_id", cfg.key_buckets))
+     .repartition(cfg.key_buckets, F.col("ib"))
+     .sortWithinPartitions("image_id")
+     .write.mode("overwrite").partitionBy("ib")
+     .parquet(f"{staging_dir}/{ID_INDEX}"))
+
+
+# --------------------------------------------------------------- lookups
+
+def _pruned(spark: SparkSession, path: str, part_col: str, key_col: str,
+            keys: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """The shared pruned-point-lookup plan: partition filter from the
+    probe keys' bucket set + IN-list (or partition-pruned semi join)
+    on the key column."""
+    buckets = sorted(r[0] for r in
+                     keys.select(_kb(key_col, cfg.key_buckets)
+                                 .alias("pb")).distinct().collect())
+    idx = (spark.read.parquet(path)
+           .filter(F.col(part_col).isin(buckets)))
+    vals = [r[0] for r in
+            keys.select(key_col).distinct()
+            .limit(cfg.add_lookup_max_literals + 1).collect()]
+    if len(vals) <= cfg.add_lookup_max_literals:
+        return idx.filter(F.col(key_col).isin(vals))
+    return idx.join(keys.select(key_col).distinct(), key_col, "left_semi")
+
+
+def lookup_ck_index(spark: SparkSession, path: str, cks: DataFrame,
+                    cfg: PipelineConfig) -> DataFrame:
+    """(ck, rep_id) for exactly the probed cks present in the build."""
+    return _pruned(spark, path, "kb", "ck", cks, cfg).select("ck", "rep_id")
+
+
+def lookup_id_index(spark: SparkSession, path: str, ids: DataFrame,
+                    cfg: PipelineConfig) -> DataFrame:
+    """(image_id, cluster_id, is_rep) — latest generation wins — for
+    exactly the probed ids present in the build."""
+    return (_pruned(spark, path, "ib", "image_id", ids, cfg)
+            .groupBy("image_id")
+            .agg(F.max_by("cluster_id", "gen").alias("cluster_id"),
+                 F.bool_or("is_rep").alias("is_rep")))
+
+
+# ----------------------------------------------------------- maintenance
+
+def compact_id_index(spark: SparkSession, path: str,
+                     cfg: PipelineConfig) -> None:
+    """Rewrite id_index down to one latest row per image (offline
+    maintenance; the Iceberg rewrite-data-files analog).  Keeps each
+    image's max gen so subsequent adds (whose gens come from the
+    monotonically increasing commit counter) still win lookups."""
+    compacted = (spark.read.parquet(path)
+                 .groupBy("image_id")
+                 .agg(F.max_by("cluster_id", "gen").alias("cluster_id"),
+                      F.bool_or("is_rep").alias("is_rep"),
+                      F.max("gen").alias("gen"))
+                 .withColumn("ib", _kb("image_id", cfg.key_buckets))
+                 .repartition(cfg.key_buckets, F.col("ib"))
+                 .sortWithinPartitions("image_id"))
+    tmp = f"{path}__compact"
+    compacted.write.mode("overwrite").partitionBy("ib").parquet(tmp)
+    from gsearch_spark.fs import CheckpointFS
+    fs = CheckpointFS(spark, path)
+    fs.delete(path)
+    fs.rename(tmp, path)
+    spark.catalog.refreshByPath(path)

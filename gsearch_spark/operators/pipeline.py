@@ -40,9 +40,12 @@ from gsearch_spark.operators.suffix import suffix_candidate_pairs
 from gsearch_spark.operators.verify import verified_edges
 
 STAGES = ("exact_groups", "signatures", "bands", "candidate_pairs",
-          "verified_edges", "clusters")
+          "verified_edges", "clusters", "ck_index", "id_index")
 
 ADD_MANIFEST = "_add_commit_manifest.json"
+# current id_index generation (monotone add counter); bumped inside the
+# manifest-protected commit so torn commits roll the counter forward too
+ID_GEN_FILE = "_id_index_gen"
 
 
 def cluster_pbucket(cfg: PipelineConfig) -> "F.Column":
@@ -105,7 +108,14 @@ class NearDupPipeline:
         contract: stage, part_id, rows_in, rows_out, t_start, t_end,
         config_hash — the processing_state.json analog, per partition)."""
         per_part = (out.groupBy(F.spark_partition_id().alias("part_id"))
-                    .agg(F.count(F.lit(1)).alias("rows_out"))
+                    .agg(F.count(F.lit(1)).alias("rows_out")))
+        if rec.rows_out == 0:
+            # an empty stage still gets a lineage row (part_id -1):
+            # zero-row probes (e.g. a clean id-clash check) must appear
+            # in pipeline_state for the sent==received reconciliation
+            per_part = self.spark.createDataFrame(
+                [(-1, 0)], "part_id int, rows_out bigint")
+        per_part = (per_part
                     .withColumn("stage", F.lit(stage))
                     .withColumn("rows_in", F.lit(rec.rows_in))
                     .withColumn("t_start",
@@ -231,6 +241,35 @@ class NearDupPipeline:
              .write.mode("overwrite").partitionBy("pbucket").parquet(path))
             clusters = self.spark.read.parquet(path)
             clusters = self._record("clusters", clusters, t0, skipped=False)
+
+        # -- stage 6: key-addressed lookup layouts (operators/keyidx.py).
+        #    Sidecar tables whose partitioning + in-file sort make the
+        #    append path's membership / label / id-clash probes prune to
+        #    O(probed keys) IO instead of scanning corpus-sized key
+        #    columns (reference: add addresses its persisted index by
+        #    rank, never rescans it — src/dna/dnasketch.rs:106-134) -----
+        from gsearch_spark.operators.keyidx import (write_ck_index,
+                                                    write_id_index)
+        t0 = time.time()
+        if resume and self._done("ck_index"):
+            ck_idx = self.spark.read.parquet(self._path("ck_index"))
+            self._record("ck_index", ck_idx, t0, skipped=True)
+        else:
+            write_ck_index(groups, self._path("ck_index"), self.cfg)
+            ck_idx = self.spark.read.parquet(self._path("ck_index"))
+            self._record("ck_index", ck_idx, t0, skipped=False)
+        t0 = time.time()
+        if resume and self._done("id_index"):
+            id_idx = self.spark.read.parquet(self._path("id_index"))
+            self._record("id_index", id_idx, t0, skipped=True)
+        else:
+            write_id_index(clusters, groups, self._path("id_index"),
+                           self.cfg)
+            id_idx = self.spark.read.parquet(self._path("id_index"))
+            self._record("id_index", id_idx, t0, skipped=False)
+        gen_path = os.path.join(self.dir, ID_GEN_FILE)
+        if not self.fs.exists(gen_path):
+            self.fs.write_text(gen_path, "0")
         return clusters.select("image_id", "cluster_id")
 
 
@@ -257,8 +296,16 @@ def incremental_add(spark: SparkSession, cfg: PipelineConfig,
 
     * config reloads from the checkpoint and must hash-match (the
       reference re-sketches new data with the ORIGINAL parameters);
-    * exact grouping keys new rows against the STORED content keys (ck in
-      the exact_groups checkpoint) — old payload bytes are never rescanned;
+    * every stored-metadata probe (id-clash refusal, ck membership,
+      suffix-group rep-ness, endpoint labels) is a PRUNED point lookup
+      into the key-addressed ck_index / id_index layouts
+      (operators/keyidx.py): partition filter from the probe keys'
+      bucket set + IN-list row-group pruning on key-sorted files — the
+      stored corpus' key columns are never scanned, closing the last
+      linear-in-corpus term in the append story (reference anchor: add
+      addresses its persisted index by rank, src/dna/dnasketch.rs:106-134);
+    * exact grouping keys new rows against the stored content keys via
+      that ck_index probe — old payload bytes are never rescanned;
       a new row whose content matches an existing group becomes a MEMBER
       of that group's existing representative (rank continuation: a rep
       keeps its identity even if a lexicographically smaller duplicate
@@ -309,6 +356,10 @@ def incremental_add(spark: SparkSession, cfg: PipelineConfig,
     from gsearch_spark.operators.candidates import (emit_bucket_pairs,
                                                     probe_pairs_vs_stored)
     from gsearch_spark.operators.exact import content_keys
+    from gsearch_spark.operators.keyidx import (lookup_ck_index,
+                                                lookup_id_index,
+                                                stage_ck_append,
+                                                stage_id_append)
     from gsearch_spark.operators.suffix import suffix_candidate_pairs
     from gsearch_spark.operators.verify import (attach_payloads,
                                                 prefilter_pairs, verify_pairs)
@@ -328,13 +379,26 @@ def incremental_add(spark: SparkSession, cfg: PipelineConfig,
         raise ValueError(
             "checkpoint predates bucketed clusters (no pbucket "
             "partitioning); rebuild with tohnsw first")
+    ck_path = pipe._path("ck_index")
+    id_path = pipe._path("id_index")
+    if not (pipe.fs.exists(f"{ck_path}/_SUCCESS")
+            and pipe.fs.exists(f"{id_path}/_SUCCESS")):
+        raise ValueError(
+            "checkpoint predates key-addressed lookup layouts (no "
+            "ck_index/id_index); rebuild with tohnsw first")
 
     n_new = new_images.count()
     n_old = old_groups.count()
     if all_images.count() != n_old + n_new:
         raise ValueError("all_images must be exactly old ∪ new")
-    if new_images.join(old_groups.select("image_id"),
-                       "image_id", "left_semi").count():
+    # id-clash refusal via the id-keyed layout: O(new) pruned point
+    # lookup, not a corpus scan of stored image_ids
+    t0 = time.time()
+    clash = lookup_id_index(spark, id_path,
+                            new_images.select("image_id"),
+                            cfg).localCheckpoint()
+    pipe._record("add_lookup_idclash", clash, t0, skipped=False)
+    if pipe.records[-1].rows_out:
         raise ValueError("new_images contains ids already in the build")
 
     staging = pipe._path("_add_staging")
@@ -348,13 +412,18 @@ def incremental_add(spark: SparkSession, cfg: PipelineConfig,
         pipe._record(f"add_{name}", out, t0, skipped=False)
         return out
 
-    # -- exact grouping of the new slice (no old bytes touched) ----------
-    nk = content_keys(new_images)
-    old_keys = old_groups.select("ck", "rep_id").distinct()
-    matched = (nk.join(old_keys, "ck")
+    # -- exact grouping of the new slice (no old bytes touched; the
+    #    membership probe is a pruned point lookup into ck_index — the
+    #    stored corpus' key columns are never scanned) -------------------
+    nk = content_keys(new_images).localCheckpoint()
+    t0 = time.time()
+    old_keys = lookup_ck_index(spark, ck_path, nk.select("ck"),
+                               cfg).localCheckpoint()  # O(new) rows
+    pipe._record("add_lookup_ck", old_keys, t0, skipped=False)
+    matched = (nk.join(F.broadcast(old_keys), "ck")
                .select("image_id", "rep_id", "ck"))
     w_ck = Window.partitionBy("ck")
-    fresh = (nk.join(old_keys.select("ck"), "ck", "left_anti")
+    fresh = (nk.join(F.broadcast(old_keys.select("ck")), "ck", "left_anti")
              .select("image_id",
                      F.min("image_id").over(w_ck).alias("rep_id"), "ck"))
     new_groups = stage("exact_groups", matched.unionByName(fresh))
@@ -382,25 +451,33 @@ def incremental_add(spark: SparkSession, cfg: PipelineConfig,
     nn_pairs = emit_bucket_pairs(new_bands).localCheckpoint()
     no_pairs = probe_pairs_vs_stored(explode_all_bands(new_sigs, cfg),
                                      old_bands).localCheckpoint()
-    all_rep_ids = (old_groups.unionByName(new_groups)
-                   .filter(F.col("image_id") == F.col("rep_id"))
-                   .select("image_id"))
-    reps_imgs = (all_images.join(all_rep_ids, "image_id", "left_semi")
-                 .select("phash", "image_id", "caption"))
-    # touched phash groups: a semi join can't prune the corpus scan, but
-    # the touched set is bounded by the NEW rep count — when small
-    # enough to ship as literals, push it down as an isin() filter so
-    # parquet row-group stats prune the scan (on a phash-sorted /
-    # z-ordered Iceberg table this turns the per-add suffix input read
-    # into O(touched groups) IO); bulk appends past the cap fall back to
-    # the semi join
+    # touched phash groups: when the touched set is small enough to ship
+    # as literals, push it down as an isin() filter so parquet row-group
+    # stats prune the payload scan (on a phash-sorted / z-ordered
+    # Iceberg table this turns the per-add suffix input read into
+    # O(touched groups) IO); bulk appends past the cap fall back to the
+    # semi join
     ph_vals = [r[0] for r in to_sketch.select("phash").distinct()
                .limit(10_001).collect()]
     if len(ph_vals) <= 10_000:
-        touched_reps = reps_imgs.filter(F.col("phash").isin(ph_vals))
+        touched_imgs = all_images.filter(F.col("phash").isin(ph_vals))
     else:
-        touched_reps = reps_imgs.join(
+        touched_imgs = all_images.join(
             to_sketch.select("phash").distinct(), "phash", "left_semi")
+    touched_imgs = touched_imgs.select("phash", "image_id", "caption")
+    # rep-ness of the touched slice comes from a pruned id_index point
+    # lookup (is_rep flag), not a corpus scan of the stored group keys;
+    # new reps aren't in id_index yet and union in explicitly
+    t0 = time.time()
+    old_touched_reps = (lookup_id_index(spark, id_path,
+                                        touched_imgs.select("image_id"),
+                                        cfg)
+                        .filter(F.col("is_rep"))
+                        .select("image_id").localCheckpoint())
+    pipe._record("add_lookup_touched_reps", old_touched_reps, t0,
+                 skipped=False)
+    touched_reps = touched_imgs.join(
+        old_touched_reps.unionByName(new_rep_ids), "image_id", "left_semi")
     # sfx feeds BOTH union arms below — cut it first, or the shared
     # exchange under the two consumers trips the AQE reuse bug
     sfx = suffix_candidate_pairs(touched_reps).localCheckpoint()
@@ -444,10 +521,10 @@ def incremental_add(spark: SparkSession, cfg: PipelineConfig,
     # old component to its label preserves connectivity when the new
     # edges arrive: CC input is the label-level image of the NEW edges
     # only — O(|new edges|), independent of the stored edge count (which
-    # is never read).  Endpoint labels come from one broadcast-semi
-    # lookup into the stored clusters scan (no shuffle of the corpus; at
-    # 10^12 rows store clusters in an Iceberg table bucketed by image_id
-    # too and this lookup partition-prunes as well).
+    # is never read).  Endpoint labels come from a pruned id_index point
+    # lookup (partition filter + IN-list row-group pruning) — neither
+    # the stored clusters table nor any other corpus-sized relation is
+    # scanned on this path.
     t0 = time.time()
     matched_reps = (new_groups
                     .join(new_images.select(F.col("image_id")
@@ -460,10 +537,15 @@ def incremental_add(spark: SparkSession, cfg: PipelineConfig,
                     .unionByName(matched_reps.select(F.col("rep_id")
                                                      .alias("image_id")))
                     .distinct())
-    labels = (clusters_stored
-              .join(F.broadcast(endpoint_ids), "image_id", "left_semi")
+    # endpoint labels via the id-keyed layout: pruned point lookup,
+    # O(new edges + matched reps) rows read — the stored clusters table
+    # is no longer scanned for this (only its pbucket-pruned affected
+    # partitions are read below)
+    labels = (lookup_id_index(spark, id_path, endpoint_ids, cfg)
               .select("image_id", F.col("cluster_id").alias("label"))
               .localCheckpoint())  # small: O(new edges + matched reps)
+    pipe._record("add_lookup_labels", labels, t0, skipped=False)
+    t0 = time.time()
     lab_a = labels.select(F.col("image_id").alias("a"),
                           F.col("label").alias("la"))
     lab_b = labels.select(F.col("image_id").alias("b"),
@@ -519,27 +601,35 @@ def incremental_add(spark: SparkSession, cfg: PipelineConfig,
                    .select("image_id", "cluster_id"))
     Rm = rep_cc.select(F.col("image_id").alias("cluster_id"),
                        F.col("cluster_id").alias("root"))
+    # is_rep rides along so the id_index delta rows keep the flag's
+    # bool_or-across-generations contract: re-labelled OLD members append
+    # is_rep=false (their first-appearance row already carries the truth,
+    # and rep-ness is immutable); NEW members carry their actual flag
     relab_old = (aff_members.join(F.broadcast(Rm), "cluster_id", "left")
                  .select("image_id",
-                         F.coalesce("root", "cluster_id").alias("root")))
+                         F.coalesce("root", "cluster_id").alias("root"),
+                         F.lit(False).alias("is_rep")))
     # every NEW member routes through its rep's label to the merged root
-    rep_lab = (new_groups.select("image_id", "rep_id")
+    rep_lab = (new_groups.select("image_id", "rep_id",
+                                 (F.col("image_id") == F.col("rep_id"))
+                                 .alias("is_rep"))
                .join(F.broadcast(labels.withColumnRenamed("image_id",
                                                           "rep_id")),
                      "rep_id", "left")
                .select("image_id",
                        F.coalesce("label", F.col("rep_id"))
-                       .alias("cluster_id")))
+                       .alias("cluster_id"), "is_rep"))
     relab_new = (rep_lab.join(F.broadcast(Rm), "cluster_id", "left")
                  .select("image_id",
-                         F.coalesce("root", "cluster_id").alias("root")))
+                         F.coalesce("root", "cluster_id").alias("root"),
+                         "is_rep"))
     # min-member normalization over the affected slice only (the rest of
     # the corpus already satisfies cluster_id == min member by induction)
     members = relab_old.unionByName(relab_new)
     norm = members.groupBy("root").agg(F.min("image_id")
                                        .alias("cluster_id"))
     delta = (members.join(F.broadcast(norm), "root")
-             .select("image_id", "cluster_id").localCheckpoint())
+             .select("image_id", "cluster_id", "is_rep").localCheckpoint())
     pipe._record("add_clusters", delta, t0, skipped=False)
 
     # -- stage the rewritten clusters partitions (touched buckets only) --
@@ -552,7 +642,7 @@ def incremental_add(spark: SparkSession, cfg: PipelineConfig,
             .join(F.broadcast(aff_cl.select("cluster_id")),
                   "cluster_id", "left_anti")
             .select("image_id", "cluster_id"))
-    (kept.unionByName(delta)
+    (kept.unionByName(delta.select("image_id", "cluster_id"))
      .withColumn("pbucket", _pb("cluster_id"))
      .repartition(max(len(touched), 1), F.col("pbucket"))
      .write.mode("overwrite").partitionBy("pbucket")
@@ -566,10 +656,26 @@ def incremental_add(spark: SparkSession, cfg: PipelineConfig,
     # into other buckets) must be DELETED at commit, not left stale
     swap = {str(p): bool(p in present) for p in touched}
 
+    # -- stage the key-index deltas: brand-new (ck, rep_id) rows and the
+    #    re-labelled/new member rows at the next id_index generation
+    #    (LSM append, latest-gen-wins — no stored index rows are read or
+    #    rewritten) -----------------------------------------------------
+    t0 = time.time()
+    stage_ck_append(new_groups, staging, cfg)
+    gen_file = os.path.join(checkpoint_dir, ID_GEN_FILE)
+    new_gen = (int(pipe.fs.read_text(gen_file))
+               if pipe.fs.exists(gen_file) else 0) + 1
+    stage_id_append(delta, new_gen, staging, cfg)
+    pipe._record("add_index_delta",
+                 spark.read.parquet(f"{staging}/id_index"), t0,
+                 skipped=False)
+
     # -- commit: manifest first, then renames; crash => roll-forward -----
-    manifest = {"version": 1, "staging": staging,
+    manifest = {"version": 2, "staging": staging,
                 "append_stages": ["exact_groups", "signatures", "bands",
                                   "candidate_pairs", "verified_edges"],
+                "partitioned_appends": ["ck_index", "id_index"],
+                "id_index_gen": new_gen,
                 "clusters_swap": swap}
     mpath = os.path.join(checkpoint_dir, ADD_MANIFEST)
     pipe.fs.write_text(mpath, json.dumps(manifest))
@@ -580,7 +686,7 @@ def incremental_add(spark: SparkSession, cfg: PipelineConfig,
     # file-status cache — refresh before re-listing (the documented
     # plan-cache-over-rewritten-path pitfall, FS-metadata edition)
     for name in ("exact_groups", "signatures", "bands", "candidate_pairs",
-                 "verified_edges", "clusters"):
+                 "verified_edges", "clusters", "ck_index", "id_index"):
         spark.catalog.refreshByPath(pipe._path(name))
     return (spark.read.parquet(pipe._path("clusters"))
             .select("image_id", "cluster_id"))
@@ -598,6 +704,23 @@ def _apply_add_commit(fs: CheckpointFS, root: str, manifest: dict) -> None:
         if fs.exists(src):
             fs.move_children(src, f"{root}/{name}")
             fs.delete(src)
+    # hive-partitioned appends (ck_index/id_index): move each staged
+    # partition dir's files into the live partition dir, then drop the
+    # staged dir so a crashed re-run skips it (same idempotence contract
+    # as the flat appends above)
+    for name in manifest.get("partitioned_appends", []):
+        src = f"{staging}/{name}"
+        if fs.exists(src):
+            for child in fs.list_children(src):
+                cname = child.rsplit("/", 1)[-1]
+                if not cname or "=" not in cname:
+                    continue  # _SUCCESS / hidden markers
+                fs.move_children(child, f"{root}/{name}/{cname}")
+                fs.delete(child)
+            fs.delete(src)
+    if "id_index_gen" in manifest:
+        fs.write_text(f"{root}/{ID_GEN_FILE}",
+                      str(manifest["id_index_gen"]))
     live = f"{root}/clusters"
     for p, has_rows in manifest["clusters_swap"].items():
         staged_p = f"{staging}/clusters/pbucket={p}"
@@ -626,6 +749,8 @@ def recover_add_commit(spark: SparkSession, checkpoint_dir: str) -> bool:
     _apply_add_commit(fs, checkpoint_dir, manifest)
     fs.delete(mpath)
     fs.delete(manifest["staging"])
-    for name in manifest["append_stages"] + ["clusters"]:
+    for name in (manifest["append_stages"]
+                 + manifest.get("partitioned_appends", [])
+                 + ["clusters"]):
         spark.catalog.refreshByPath(f"{checkpoint_dir}/{name}")
     return True

@@ -28,17 +28,25 @@ def _bidirect(edges: DataFrame) -> DataFrame:
     return fwd.union(rev)
 
 
-def topk_neighbors(edges: DataFrame, k: int = 5) -> DataFrame:
+def topk_neighbors(edges: DataFrame, k: int = 5,
+                   rounded: bool = True) -> DataFrame:
     """Per-query top-k verified neighbors, highest PSNR (closest) first,
-    deterministic tie-break on neighbor id."""
+    deterministic tie-break on neighbor id.
+
+    ``rounded=False`` emits full-precision doubles — the cross-engine
+    hash-gate mode: Spark's round() goes through BigDecimal-of-
+    shortest-string semantics that can differ from another engine's on
+    values whose shortest repr lands exactly on the rounding grid,
+    while raw IEEE doubles compare bit-identical."""
     w = Window.partitionBy("query").orderBy(F.desc("psnr"), F.col("neighbor"))
+    psnr_db = (F.round("psnr", 2) if rounded else F.col("psnr"))
+    dist = 1.0 / (1.0 + F.greatest(F.col("psnr"), F.lit(0.0)))
     return (_bidirect(edges)
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query", "neighbor",
-                    F.round("psnr", 2).alias("psnr_db"),
-                    F.round(1.0 / (1.0 + F.greatest(F.col("psnr"),
-                                                    F.lit(0.0))), 6)
+                    psnr_db.alias("psnr_db"),
+                    (F.round(dist, 6) if rounded else dist)
                     .alias("distance"),
                     "src", F.col("rank").cast("int").alias("rank")))
 

@@ -56,19 +56,20 @@ def probe_candidates(query_bands: DataFrame, stored_bands: DataFrame,
     function of (image_id, band_id) — so the equi-join yields at most one
     row per (query, target, band); distinct collapses multi-band hits.
 
-    Viral-bucket guard (off by default — exact answers): the stored-side
-    salt bounds the BUILD self-join, but a probe matches a bucket across
-    all its salts, so a query landing in a viral bucket (10^6 stored
-    copies of one meme) joins against every member.  With
-    ``max_bucket_probe`` set, touched buckets (semi join on the probe
-    keys) are first capped to that many members in xxhash64 order — the
-    same bounded-heads policy as the append path's
-    ``probe_pairs_vs_stored`` — making per-probe cost O(bands x cap)
-    instead of O(bucket size), at the price of approximate top-k inside
-    buckets larger than the cap (any cap >= k keeps a distance-0 true
-    duplicate reachable in expectation across ~27 band families).  Set
-    it on 10^12-row deployments; leave None when exact per-bucket
-    ranking matters more than tail latency.
+    Viral-bucket guard: the stored-side salt bounds the BUILD self-join,
+    but a probe matches a bucket across all its salts, so a query
+    landing in a viral bucket (10^6 stored copies of one meme) joins
+    against every member.  With ``max_bucket_probe`` set, touched
+    buckets (semi join on the probe keys) are first capped to that many
+    members in xxhash64 order — the same bounded-heads policy as the
+    append path's ``probe_pairs_vs_stored`` — making per-probe cost
+    O(bands x cap) instead of O(bucket size), at the price of
+    approximate top-k inside buckets larger than the cap (any cap >= k
+    keeps a distance-0 true duplicate reachable in expectation across
+    ~27 band families; recall-neutrality on the fixture is pinned in
+    tests/test_request.py).  This is the PRODUCTION DEFAULT
+    (``PipelineConfig.max_bucket_probe`` = 1024, applied by
+    :func:`request`); pass None here for exact per-bucket ranking.
     """
     qb = query_bands.select(F.col("image_id").alias("query_id"),
                             "band_id", "band_hash")
@@ -167,6 +168,9 @@ def request(spark: SparkSession, checkpoint_dir: str,
     * ``query_images`` needs the input-table shape: image_id, bytes,
       caption, phash.
     * Returns ANSWERS_SCHEMA rows; distance = 1 - minhash-slot agreement.
+    * ``max_bucket_probe``: None (default) applies the stored config's
+      viral-bucket cap (``PipelineConfig.max_bucket_probe``, 0 = exact);
+      an explicit int overrides it, 0 forces exact.
     """
     from gsearch_spark.fs import CheckpointFS
     stored_cfg = PipelineConfig.reload_via(CheckpointFS(spark, checkpoint_dir),
@@ -178,6 +182,9 @@ def request(spark: SparkSession, checkpoint_dir: str,
             "re-sketch queries with the original parameters (reference "
             "parameters.json discipline)")
     cfg = stored_cfg
+    if max_bucket_probe is None:
+        max_bucket_probe = getattr(cfg, "max_bucket_probe", 0)
+    cap = max_bucket_probe if max_bucket_probe else None  # 0 = exact
 
     # localCheckpoint (eager): the probe signatures feed BOTH the band
     # explode and the answer ranking; without the cut, each consumer
@@ -191,6 +198,6 @@ def request(spark: SparkSession, checkpoint_dir: str,
     stored_sigs = spark.read.parquet(f"{checkpoint_dir}/signatures")
     cands = probe_candidates(q_bands, stored_bands,
                              broadcast_probe=broadcast_probe,
-                             max_bucket_probe=max_bucket_probe)
+                             max_bucket_probe=cap)
     return rank_answers(cands, q_sigs, stored_sigs, cfg, k, max_distance,
                         broadcast_probe=broadcast_probe)

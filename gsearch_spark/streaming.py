@@ -154,15 +154,20 @@ def stream_append_images(spark: SparkSession, cfg, checkpoint_dir: str,
     reference's ``add`` subcommand (gsearch src/bin/gsearch.rs:488-505)
     — "daily appends" become a file-source stream.
 
-    Every micro-batch of new images (1) drops ids already present in
-    the build (anti join against the stored exact_groups keys — this
-    makes a REPLAYED batch a no-op, so the at-least-once file source
-    composes with the add's id-clash refusal instead of tripping it),
-    (2) appends the surviving payloads into the bucketed payload table
-    under its existing bucket spec, and (3) runs the append-only
-    :func:`incremental_add` against the stored build.  A crash mid-add
-    is rolled forward by the next batch's ``recover_add_commit`` (the
-    add calls it on entry).
+    Every micro-batch of new images (1) rolls forward any torn add
+    commit FIRST (``recover_add_commit`` — so the membership checks
+    below see the committed truth, not a half-applied one), (2) drops
+    ids already present in the build (pruned id_index point lookup —
+    this makes a REPLAYED batch a no-op, so the at-least-once file
+    source composes with the add's id-clash refusal instead of
+    tripping it), (3) drops ids already present in the PAYLOAD table
+    before appending (covers the crash window between the payload
+    append and the add commit: on replay the payload rows exist but
+    the build rows don't — those images skip the append and go
+    straight to the add), then (4) appends the missing payloads under
+    the table's existing bucket spec and runs the append-only
+    :func:`incremental_add`.  Both crash windows therefore replay as
+    exact no-ops with no manual repair.
 
     Returns the StreamingQuery; run with ``trigger(availableNow=True)``
     + ``awaitTermination`` for deterministic drains (tests), or leave
@@ -175,20 +180,39 @@ def stream_append_images(spark: SparkSession, cfg, checkpoint_dir: str,
     metastore/Iceberg catalog deployment refreshes via snapshot
     metadata instead).
     """
+    from pyspark.sql import functions as F
     from gsearch_spark.bucketed import append_images_bucketed
-    from gsearch_spark.operators.pipeline import incremental_add
+    from gsearch_spark.operators.keyidx import lookup_id_index
+    from gsearch_spark.operators.pipeline import (incremental_add,
+                                                  recover_add_commit)
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        known = (batch_df.sparkSession.read
-                 .parquet(f"{checkpoint_dir}/exact_groups")
+        s = batch_df.sparkSession
+        recover_add_commit(s, checkpoint_dir)  # torn commit => roll forward
+        batch_df = batch_df.localCheckpoint()
+        known = (lookup_id_index(s, f"{checkpoint_dir}/id_index",
+                                 batch_df.select("image_id"), cfg)
                  .select("image_id"))
         fresh = batch_df.join(known, "image_id", "left_anti") \
                         .localCheckpoint()
         if fresh.isEmpty():
             return
-        append_images_bucketed(batch_df.sparkSession, fresh, payload_table)
-        incremental_add(batch_df.sparkSession, cfg, checkpoint_dir, fresh,
-                        batch_df.sparkSession.table(payload_table))
+        # payload-table membership of the (tiny) batch: IN-list filter
+        # on the image_id-bucketed/sorted table => bucket + row-group
+        # pruned scan, not a table scan
+        ids = [r[0] for r in fresh.select("image_id")
+               .limit(cfg.add_lookup_max_literals + 1).collect()]
+        in_payload = s.table(payload_table).select("image_id")
+        if len(ids) <= cfg.add_lookup_max_literals:
+            in_payload = in_payload.filter(F.col("image_id").isin(ids))
+        else:  # giant batch: semi join instead of an IN-list
+            in_payload = in_payload.join(fresh.select("image_id"),
+                                         "image_id", "left_semi")
+        to_append = fresh.join(in_payload, "image_id", "left_anti")
+        if not to_append.isEmpty():
+            append_images_bucketed(s, to_append, payload_table)
+        incremental_add(s, cfg, checkpoint_dir, fresh,
+                        s.table(payload_table))
 
     stream = (spark.readStream
               .schema(IMAGES_SCHEMA)

@@ -56,6 +56,7 @@ def _run(cores: int, n_base: int, multi_jvm: int = 0) -> dict:
                SPARK_GRAFT_ARROW_BATCH="128")
     subprocess.run(["sync"], check=False)  # drain pending writeback
     time.sleep(3)
+    load_before = os.getloadavg()  # external-tenant load context (1/5/15m)
     t0 = time.time()
     cmd = [sys.executable, "-m", "gsearch_spark.bench_job",
            "--cores", str(cores), "--mode", "sig_lsh_gen",
@@ -67,17 +68,30 @@ def _run(cores: int, n_base: int, multi_jvm: int = 0) -> dict:
                          timeout=3600, env=env)
     # tolerate the local-cluster teardown race (worker->master RPC after
     # master stop flips the exit code AFTER the result line printed):
-    # accept the run if stdout carries a valid result JSON line
+    # accept the run ONLY if stdout carries the bench_job result record
+    # (a dict with total_sec) — a bare JSON scalar in stdout, or any
+    # other JSON-ish noise from a genuinely failed run, must not be
+    # silently recorded as success
     rec = None
     for line in reversed(out.stdout.strip().splitlines()):
         try:
-            rec = json.loads(line)
-            break
+            cand = json.loads(line)
         except ValueError:
             continue
+        if isinstance(cand, dict) and "total_sec" in cand:
+            rec = cand
+            break
     if rec is None:
         raise RuntimeError(f"bench_job c{cores} failed:\n{out.stderr[-3000:]}")
     rec["wall_sec"] = round(time.time() - t0, 1)
+    # loadavg before/after bounds the external load during the run: the
+    # 1-min avg minus our own core budget estimates tenant pressure (the
+    # round-4 scaling re-confirmation was biased low by exactly this —
+    # external load subtracts 1:1 from the wide arm while the narrow arm
+    # is sheltered — so every published run now carries its load trace)
+    rec["loadavg_before"] = [round(x, 2) for x in load_before]
+    rec["loadavg_after"] = [round(x, 2) for x in os.getloadavg()]
+    rec["cores_requested"] = cores
     shutil.rmtree(SHM, ignore_errors=True)
     return rec
 

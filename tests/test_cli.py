@@ -110,8 +110,27 @@ def test_cli_bucketed_build_and_add(spark, small_fixture_dir, capsys):
     clusters = pq.read_table(f"{build}/clusters").to_pydict()
     assert len(clusters["image_id"]) == tbl.num_rows
 
-    # a retried add must refuse BEFORE planting duplicate payload rows
-    with pytest.raises(ValueError, match="refusing to append"):
+    # a retried add of an ALREADY-INGESTED batch must refuse (the ids
+    # are in the build) and must not plant duplicate payload rows — the
+    # payload append now skips ids already present instead of refusing,
+    # so the refusal comes from the build-side checks
+    with pytest.raises(ValueError):
         cli_main(["--cores", "8", "add", "-b", build, "-n", new])
     assert spark.table(table).count() == tbl.num_rows
+
+    # torn-attempt resume (r4-advice fix): payloads appended but the
+    # build add never ran — a retry must NOT refuse forever; it skips
+    # the already-present payload rows and ingests the images
+    new2_t = tbl.slice(0, 20).to_pandas()
+    new2_t["image_id"] = ["re_" + i for i in new2_t["image_id"]]
+    new2 = f"{root}/new2.parquet"
+    import pyarrow as pa
+    pq.write_table(pa.Table.from_pandas(new2_t), new2)
+    from gsearch_spark.bucketed import append_images_bucketed
+    append_images_bucketed(spark, spark.read.parquet(new2), table)
+    n_after_torn = spark.table(table).count()
+    assert cli_main(["--cores", "8", "add", "-b", build, "-n", new2]) == 0
+    assert spark.table(table).count() == n_after_torn  # no dup payloads
+    clusters2 = pq.read_table(f"{build}/clusters").to_pydict()
+    assert len(clusters2["image_id"]) == tbl.num_rows + 20
     spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -1,0 +1,165 @@
+"""Key-addressed lookup layouts (operators/keyidx.py): the add path's
+stored-metadata probes must PRUNE — partition filter from the probe
+keys' bucket set plus IN-list row-group pruning on key-sorted files —
+and resolve identically to a full scan of the same state, across
+generations (LSM latest-wins) and after compaction.
+
+Reference anchor: gsearch's ``add`` addresses its persisted index by
+rank and never rescans it (src/dna/dnasketch.rs:106-134); these tests
+pin the columnar analog of that contract."""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from gsearch_spark.config import PipelineConfig
+from gsearch_spark.operators.keyidx import (compact_id_index,
+                                            lookup_ck_index,
+                                            lookup_id_index,
+                                            write_ck_index, write_id_index)
+from gsearch_spark.operators.pipeline import NearDupPipeline, incremental_add
+
+CFG = PipelineConfig()
+CKPT = "/tmp/gsearch_spark_ckpt_keyidx"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def keyidx_build(spark, small_fixture_dir):
+    """Base build over 80% of the fixture + one add of the rest — the
+    module-scoped state every lookup test reads."""
+    images = spark.read.parquet(f"{small_fixture_dir}/images.parquet")
+    ids = sorted(r["image_id"] for r in images.select("image_id").collect())
+    cut = ids[int(len(ids) * 0.8)]
+    old = images.filter(F.col("image_id") < cut)
+    new = images.filter(F.col("image_id") >= cut)
+    shutil.rmtree(CKPT, ignore_errors=True)
+    NearDupPipeline(spark, CFG, CKPT).run(old, resume=False)
+    incremental_add(spark, CFG, CKPT, new, images)
+    return {"images": images}
+
+
+def _full_id_state(spark):
+    """Ground truth: latest-gen cluster_id + bool_or(is_rep) per id from
+    a FULL scan of id_index."""
+    return {r["image_id"]: (r["cluster_id"], r["is_rep"])
+            for r in (spark.read.parquet(f"{CKPT}/id_index")
+                      .groupBy("image_id")
+                      .agg(F.max_by("cluster_id", "gen").alias("cluster_id"),
+                           F.bool_or("is_rep").alias("is_rep"))
+                      .collect())}
+
+
+def test_id_lookup_matches_full_scan_and_clusters(spark, keyidx_build):
+    """Pruned lookups == full-scan latest-gen state == the live clusters
+    checkpoint, for every id (old, re-labelled, and added)."""
+    full = _full_id_state(spark)
+    clusters = {r["image_id"]: r["cluster_id"]
+                for r in spark.read.parquet(f"{CKPT}/clusters")
+                .select("image_id", "cluster_id").collect()}
+    assert set(full) == set(clusters)
+    probe = (keyidx_build["images"].select("image_id").sample(0.3, seed=7)
+             .localCheckpoint())
+    got = {r["image_id"]: (r["cluster_id"], r["is_rep"])
+           for r in lookup_id_index(spark, f"{CKPT}/id_index",
+                                    probe, CFG).collect()}
+    want_ids = {r["image_id"] for r in probe.collect()} & set(full)
+    assert set(got) == want_ids
+    for i in got:
+        assert got[i] == full[i]
+        assert got[i][0] == clusters[i]
+
+
+def test_ck_lookup_matches_exact_groups(spark, keyidx_build):
+    """ck_index probe == the (ck, rep_id) mapping in exact_groups, for
+    probed keys; unknown keys return nothing."""
+    groups = spark.read.parquet(f"{CKPT}/exact_groups")
+    some = groups.select("ck").distinct().limit(50).localCheckpoint()
+    got = {r["ck"]: r["rep_id"]
+           for r in lookup_ck_index(spark, f"{CKPT}/ck_index",
+                                    some, CFG).collect()}
+    want = {r["ck"]: r["rep_id"]
+            for r in groups.join(some, "ck").select("ck", "rep_id")
+            .distinct().collect()}
+    assert got == want
+    miss = spark.createDataFrame([("no_such_key|x",)], "ck string")
+    assert lookup_id_index is not None  # keep flake quiet
+    assert lookup_ck_index(spark, f"{CKPT}/ck_index", miss, CFG).count() == 0
+
+
+def test_lookup_plan_partition_and_rowgroup_prunes(spark, keyidx_build):
+    """The executed plan must show BOTH pruning levels: PartitionFilters
+    on the hive bucket column and a pushed IN filter on the key column
+    (row-group stats pruning on the key-sorted files)."""
+    probe = spark.createDataFrame(
+        [(r["image_id"],) for r in
+         spark.read.parquet(f"{CKPT}/id_index").select("image_id")
+         .limit(5).collect()], "image_id string")
+    out = lookup_id_index(spark, f"{CKPT}/id_index", probe, CFG)
+    out.collect()
+    plan = _plan(out)
+    assert "PartitionFilters: [ib" in plan.replace("#", " #") or \
+        "PartitionFilters: [" in plan and "ib#" in plan.split(
+            "PartitionFilters:")[1].split("]")[0], plan
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "In(image_id" in pushed, plan
+    # and the partition filter must actually bind: with key_buckets=64
+    # and 5 probe ids, far fewer than 64 partition dirs survive
+    part_filter = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert part_filter.strip(" [") != "", plan
+
+
+def test_lookup_semi_join_fallback_same_result(spark, keyidx_build):
+    """Probe sets past add_lookup_max_literals degrade to a semi join
+    over the partition-pruned slice — same rows, no IN-list."""
+    cfg2 = dataclasses.replace(CFG, add_lookup_max_literals=3)
+    probe = (keyidx_build["images"].select("image_id").limit(40)
+             .localCheckpoint())
+    a = {(r["image_id"], r["cluster_id"], r["is_rep"])
+         for r in lookup_id_index(spark, f"{CKPT}/id_index",
+                                  probe, CFG).collect()}
+    b = {(r["image_id"], r["cluster_id"], r["is_rep"])
+         for r in lookup_id_index(spark, f"{CKPT}/id_index",
+                                  probe, cfg2).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_compact_id_index_preserves_lookups(spark, keyidx_build):
+    """Offline compaction rewrites to one row per id; lookups resolve
+    identically before and after, and the row count shrinks to the
+    distinct-id count."""
+    full_before = _full_id_state(spark)
+    n_rows_before = spark.read.parquet(f"{CKPT}/id_index").count()
+    compact_id_index(spark, f"{CKPT}/id_index", CFG)
+    after = spark.read.parquet(f"{CKPT}/id_index")
+    assert after.count() == len(full_before) <= n_rows_before
+    assert _full_id_state(spark) == full_before
+    probe = spark.createDataFrame(
+        [(i,) for i in sorted(full_before)[:20]], "image_id string")
+    got = {r["image_id"]: (r["cluster_id"], r["is_rep"])
+           for r in lookup_id_index(spark, f"{CKPT}/id_index",
+                                    probe, CFG).collect()}
+    assert got == {i: full_before[i] for i in sorted(full_before)[:20]}
+
+
+def test_add_path_reads_are_o_new(spark, keyidx_build):
+    """pipeline_state's add_lookup_* rows pin the scan-row contract: the
+    resolved lookup row counts are O(new + affected), never corpus-
+    sized (the round-4 residual this layout exists to kill)."""
+    state = spark.read.parquet(os.path.join(CKPT, "pipeline_state"))
+    rows = {r["stage"]: r["n"] for r in
+            state.groupBy("stage").agg(F.sum("rows_out").alias("n"))
+            .collect()}
+    n_new = rows["add_exact_groups"]
+    for s in ("add_lookup_idclash", "add_lookup_ck", "add_lookup_labels"):
+        assert s in rows, sorted(rows)
+        assert rows[s] <= n_new + rows.get("add_verified_edges", 0) * 2, \
+            (s, rows[s], n_new)

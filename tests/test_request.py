@@ -178,3 +178,38 @@ def test_probe_candidates_viral_bucket_cap(spark):
         "image_id", "xxhash64(image_id) AS h")
         .orderBy("h", "image_id").limit(16).collect()}
     assert got == heads | {f"s_{i}" for i in range(3)}
+
+
+def test_default_cap_recall_neutral_and_exact_here(spark, built, query_df,
+                                                   query_rows):
+    """The production default (PipelineConfig.max_bucket_probe=1024,
+    applied when request() gets max_bucket_probe=None) must (a) be
+    recall-neutral at fixture scale — answers identical to forced-exact
+    — and (b) keep every re-identified probe's distance-0 duplicate as
+    its rank-1 answer even under a far tighter cap (the bounded-heads
+    policy leaves >= cap members per touched bucket across every band
+    family, so a true byte-identical duplicate stays reachable)."""
+    assert CFG.max_bucket_probe == 1024  # documented production default
+
+    def key(rows):
+        return sorted((r["query_id"], r["target_id"], r["rank"],
+                       r["distance"]) for r in rows)
+
+    default = request(spark, built, query_df, k=K,
+                      max_distance=MAX_DIST).collect()
+    exact = request(spark, built, query_df, k=K, max_distance=MAX_DIST,
+                    max_bucket_probe=0).collect()
+    assert key(default) == key(exact) and default
+
+    tight = request(spark, built, query_df, k=K, max_distance=MAX_DIST,
+                    max_bucket_probe=8).collect()
+    top1 = {r["query_id"]: r for r in tight if r["rank"] == 1}
+    for q in query_rows:
+        orig = q["image_id"][2:]  # strip the re-identifying "q_" prefix
+        r = top1[q["image_id"]]
+        assert r["distance"] == 0.0, (q["image_id"], r)
+        # the distance-0 hit may be the original's exact-group REP
+        # (byte-identical content collapses upstream), so assert on
+        # distance, and on identity when the original is its own rep
+        if r["target_id"] != orig:
+            assert r["j_est"] == 1.0

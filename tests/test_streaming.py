@@ -177,3 +177,71 @@ def test_stream_append_images_matches_rebuild(spark, small_fixture_dir):
     assert got2 == want
     assert spark.table(table).count() == images.count()
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_stream_append_survives_payload_crash_window(spark,
+                                                     small_fixture_dir):
+    """The crash window the round-4 advice flagged: payload rows
+    appended but the add NOT committed (crash between
+    append_images_bucketed and incremental_add's commit).  On replay
+    the batch must (a) skip re-appending the already-present payload
+    rows — no duplicate payload rows, which would fan out every
+    image_id join — and (b) still run the add for those rows, ending
+    bit-identical to a from-scratch rebuild."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from gsearch_spark.bucketed import (append_images_bucketed,
+                                        write_images_bucketed)
+    from gsearch_spark.config import PipelineConfig
+    from gsearch_spark.operators.pipeline import NearDupPipeline
+    from gsearch_spark.streaming import stream_append_images
+
+    cfg = PipelineConfig()
+    root = "/tmp/gsearch_stream_crashwin"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(f"{root}/incoming", exist_ok=True)
+
+    images = spark.read.parquet(f"{small_fixture_dir}/images.parquet")
+    bucket = F.pmod(F.xxhash64("image_id"), F.lit(4))
+    base = images.filter(bucket <= 2)
+    batch = images.filter(bucket == 3)
+    assert batch.count() > 0
+
+    table = "stream_crashwin_payload"
+    write_images_bucketed(spark, base, table, buckets=8,
+                          path=f"{root}/payload")
+    ckpt = f"{root}/build"
+    NearDupPipeline(spark, cfg, ckpt).run(spark.table(table), resume=False)
+
+    # simulate the torn batch: payloads land, the add never runs
+    append_images_bucketed(spark, batch, table)
+    n_payload_after_crash = spark.table(table).count()
+    assert n_payload_after_crash == images.count()
+
+    import glob
+    batch.coalesce(1).write.parquet(f"{root}/incoming/b")
+    part = glob.glob(f"{root}/incoming/b/part-*.parquet")[0]
+    os.link(part, f"{root}/incoming/file_0.parquet")
+    shutil.rmtree(f"{root}/incoming/b")
+
+    q = stream_append_images(spark, cfg, ckpt, f"{root}/incoming", table,
+                             f"{root}/stream_ckpt")
+    q.awaitTermination(300)
+    spark.catalog.refreshTable(table)
+
+    # no duplicate payload rows...
+    assert spark.table(table).count() == images.count()
+    assert (spark.table(table).groupBy("image_id").count()
+            .filter(F.col("count") > 1).count()) == 0
+    # ...and the add DID ingest the batch: clusters == rebuild
+    got = {r["image_id"]: r["cluster_id"] for r in
+           spark.read.parquet(f"{ckpt}/clusters")
+           .select("image_id", "cluster_id").collect()}
+    want = {r["image_id"]: r["cluster_id"] for r in
+            NearDupPipeline(spark, cfg, f"{root}/full")
+            .run(images, resume=False).collect()}
+    assert got == want
+    spark.sql(f"DROP TABLE IF EXISTS {table}")

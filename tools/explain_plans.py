@@ -79,6 +79,21 @@ def main() -> None:
     bucketed_attach_plan = fmt(bucketed_attach)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
 
+    # key-addressed lookup layouts (r5): the add path's metadata probes
+    # must show PartitionFilters on ib/kb AND PushedFilters In(...) on
+    # the sorted key column — both pruning levels, no corpus scan
+    from gsearch_spark.operators.keyidx import (lookup_ck_index,
+                                                lookup_id_index)
+    probe_ids = spark.createDataFrame(
+        [(r["image_id"],) for r in images.select("image_id")
+         .limit(5).collect()], "image_id string")
+    id_lookup = lookup_id_index(spark, os.path.join(ckpt, "id_index"),
+                                probe_ids, cfg)
+    probe_cks = (spark.read.parquet(os.path.join(ckpt, "exact_groups"))
+                 .select("ck").limit(5))
+    ck_lookup = lookup_ck_index(spark, os.path.join(ckpt, "ck_index"),
+                                probe_cks.localCheckpoint(), cfg)
+
     sections = [
         ("signatures (images -> sketches; check ReadSchema is pruned to "
          "image_id/bytes/caption/phash)", sigs),
@@ -92,6 +107,13 @@ def main() -> None:
          "probe bands, no SortMergeJoin)", req),
         ("clusters affected-read (add path; check PartitionFilters on "
          "pbucket — only touched partitions scanned)", pruned),
+        ("id_index point lookup (add path id-clash / endpoint-label / "
+         "rep-ness probes; check PartitionFilters on ib AND "
+         "PushedFilters In(image_id, …) — partition + row-group pruned, "
+         "never a corpus scan)", id_lookup),
+        ("ck_index point lookup (add path exact-membership probe; check "
+         "PartitionFilters on kb AND PushedFilters In(ck, …))",
+         ck_lookup),
     ]
     out = ["# Physical plans (auto-generated by tools/explain_plans.py)\n"]
     for title, df in sections:
