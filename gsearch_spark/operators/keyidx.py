@@ -122,34 +122,45 @@ def stage_id_append(delta: DataFrame, gen: int, staging_dir: str,
 # --------------------------------------------------------------- lookups
 
 def _pruned(spark: SparkSession, path: str, part_col: str, key_col: str,
-            keys: DataFrame, cfg: PipelineConfig) -> DataFrame:
+            keys: DataFrame, cfg: PipelineConfig,
+            idx_df: "DataFrame | None" = None) -> DataFrame:
     """The shared pruned-point-lookup plan: partition filter from the
     probe keys' bucket set + IN-list (or partition-pruned semi join)
-    on the key column."""
+    on the key column.  ONE collect resolves both the literal list and
+    its bucket set (the bucket is a pure function of the key); only a
+    probe set past the literal cap pays a second, buckets-only collect
+    for the semi-join fallback.  ``idx_df`` lets a caller issuing
+    several lookups against the same table reuse one file-index listing
+    (each fresh ``spark.read.parquet`` over the partition dirs costs
+    ~2 s of driver-side listing at 64 buckets)."""
+    kb = _kb(key_col, cfg.key_buckets)
+    pairs = (keys.select(F.col(key_col).alias("k"), kb.alias("pb"))
+             .distinct().limit(cfg.add_lookup_max_literals + 1).collect())
+    idx = idx_df if idx_df is not None else spark.read.parquet(path)
+    if len(pairs) <= cfg.add_lookup_max_literals:
+        buckets = sorted({p["pb"] for p in pairs})
+        return (idx.filter(F.col(part_col).isin(buckets))
+                .filter(F.col(key_col).isin([p["k"] for p in pairs])))
     buckets = sorted(r[0] for r in
-                     keys.select(_kb(key_col, cfg.key_buckets)
-                                 .alias("pb")).distinct().collect())
-    idx = (spark.read.parquet(path)
-           .filter(F.col(part_col).isin(buckets)))
-    vals = [r[0] for r in
-            keys.select(key_col).distinct()
-            .limit(cfg.add_lookup_max_literals + 1).collect()]
-    if len(vals) <= cfg.add_lookup_max_literals:
-        return idx.filter(F.col(key_col).isin(vals))
-    return idx.join(keys.select(key_col).distinct(), key_col, "left_semi")
+                     keys.select(kb.alias("pb")).distinct().collect())
+    return (idx.filter(F.col(part_col).isin(buckets))
+            .join(keys.select(key_col).distinct(), key_col, "left_semi"))
 
 
 def lookup_ck_index(spark: SparkSession, path: str, cks: DataFrame,
-                    cfg: PipelineConfig) -> DataFrame:
+                    cfg: PipelineConfig,
+                    idx_df: "DataFrame | None" = None) -> DataFrame:
     """(ck, rep_id) for exactly the probed cks present in the build."""
-    return _pruned(spark, path, "kb", "ck", cks, cfg).select("ck", "rep_id")
+    return (_pruned(spark, path, "kb", "ck", cks, cfg, idx_df=idx_df)
+            .select("ck", "rep_id"))
 
 
 def lookup_id_index(spark: SparkSession, path: str, ids: DataFrame,
-                    cfg: PipelineConfig) -> DataFrame:
+                    cfg: PipelineConfig,
+                    idx_df: "DataFrame | None" = None) -> DataFrame:
     """(image_id, cluster_id, is_rep) — latest generation wins — for
     exactly the probed ids present in the build."""
-    return (_pruned(spark, path, "ib", "image_id", ids, cfg)
+    return (_pruned(spark, path, "ib", "image_id", ids, cfg, idx_df=idx_df)
             .groupBy("image_id")
             .agg(F.max_by("cluster_id", "gen").alias("cluster_id"),
                  F.bool_or("is_rep").alias("is_rep")))

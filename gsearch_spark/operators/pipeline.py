@@ -78,6 +78,12 @@ class NearDupPipeline:
         # checkpoint root, so file:/, hdfs:// and s3a:// behave the same
         self.fs = CheckpointFS(spark, checkpoint_dir)
         self.records: "list[StageRecord]" = []
+        # buffered pipeline_state rows: one parquet append per pipeline/
+        # add invocation (flushed at the end), not one write job per
+        # stage — 13 sub-second write jobs per small append were pure
+        # scheduler overhead, and deferring also means a FAILED add
+        # leaves no state rows for work that never committed
+        self._state_buf: "list[tuple]" = []
 
     # ------------------------------------------------------------ plumbing
 
@@ -94,43 +100,45 @@ class NearDupPipeline:
 
     def _record(self, stage: str, out: DataFrame, t0: float,
                 skipped: bool) -> DataFrame:
-        n = out.count()
+        """ONE job per stage: the per-partition row counts are collected
+        (their sum IS the stage row count — no separate count() job) and
+        buffered as pipeline_state rows for a single flush at the end
+        (FIXTURES.md §4 contract: stage, part_id, rows_in, rows_out,
+        t_start, t_end, config_hash — the processing_state.json analog,
+        per partition; the collect is bounded by the partition count)."""
+        parts = (out.groupBy(F.spark_partition_id().alias("part_id"))
+                 .agg(F.count(F.lit(1)).alias("rows_out")).collect())
+        n = sum(p["rows_out"] for p in parts)
         rows_in = self.records[-1].rows_out if self.records else -1
         rec = StageRecord(stage, n, time.time() - t0, skipped,
                           rows_in=rows_in, t_start=t0, t_end=time.time())
         self.records.append(rec)
-        self._append_state(stage, out, rec)
-        return out
-
-    def _append_state(self, stage: str, out: DataFrame,
-                      rec: StageRecord) -> None:
-        """pipeline_state: per-partition lineage rows (FIXTURES.md §4
-        contract: stage, part_id, rows_in, rows_out, t_start, t_end,
-        config_hash — the processing_state.json analog, per partition)."""
-        per_part = (out.groupBy(F.spark_partition_id().alias("part_id"))
-                    .agg(F.count(F.lit(1)).alias("rows_out")))
-        if rec.rows_out == 0:
+        if not parts:
             # an empty stage still gets a lineage row (part_id -1):
             # zero-row probes (e.g. a clean id-clash check) must appear
             # in pipeline_state for the sent==received reconciliation
-            per_part = self.spark.createDataFrame(
-                [(-1, 0)], "part_id int, rows_out bigint")
-        per_part = (per_part
-                    .withColumn("stage", F.lit(stage))
-                    .withColumn("rows_in", F.lit(rec.rows_in))
-                    .withColumn("t_start",
-                                F.timestamp_seconds(F.lit(rec.t_start)))
-                    .withColumn("t_end",
-                                F.timestamp_seconds(F.lit(rec.t_end)))
-                    .withColumn("seconds", F.lit(rec.seconds))
-                    .withColumn("skipped", F.lit(rec.skipped))
-                    .withColumn("config_hash",
-                                F.lit(self.cfg.config_hash()))
-                    .select("stage", "part_id", "rows_in", "rows_out",
-                            "t_start", "t_end", "seconds", "skipped",
-                            "config_hash"))
-        per_part.write.mode("append").parquet(
-            os.path.join(self.dir, "pipeline_state"))
+            parts = [{"part_id": -1, "rows_out": 0}]
+        self._state_buf.extend(
+            (stage, int(p["part_id"]), rows_in, int(p["rows_out"]),
+             rec.t_start, rec.t_end, rec.seconds, skipped,
+             self.cfg.config_hash()) for p in parts)
+        return out
+
+    def _flush_state(self) -> None:
+        if not self._state_buf:
+            return
+        df = self.spark.createDataFrame(
+            self._state_buf,
+            schema="stage string, part_id int, rows_in bigint, "
+                   "rows_out bigint, ts double, te double, "
+                   "seconds double, skipped boolean, config_hash string")
+        (df.withColumn("t_start", F.timestamp_seconds(F.col("ts")))
+         .withColumn("t_end", F.timestamp_seconds(F.col("te")))
+         .select("stage", "part_id", "rows_in", "rows_out",
+                 "t_start", "t_end", "seconds", "skipped", "config_hash")
+         .write.mode("append").parquet(
+             os.path.join(self.dir, "pipeline_state")))
+        self._state_buf.clear()
 
     # ------------------------------------------------------------ stages
 
@@ -270,6 +278,7 @@ class NearDupPipeline:
         gen_path = os.path.join(self.dir, ID_GEN_FILE)
         if not self.fs.exists(gen_path):
             self.fs.write_text(gen_path, "0")
+        self._flush_state()
         return clusters.select("image_id", "cluster_id")
 
 
@@ -386,7 +395,16 @@ def incremental_add(spark: SparkSession, cfg: PipelineConfig,
         raise ValueError(
             "checkpoint predates key-addressed lookup layouts (no "
             "ck_index/id_index); rebuild with tohnsw first")
+    # one file-index listing per lookup table for the whole add (the
+    # tables don't change until this add's own commit)
+    ck_idx_df = spark.read.parquet(ck_path)
+    id_idx_df = spark.read.parquet(id_path)
 
+    # cut the new slice's lineage once: it is consumed by ~8 downstream
+    # plans (counts, keys, sketch set, probes) and re-running a source
+    # filter for each is wasted IO — localCheckpoint (NOT persist; the
+    # documented plan-cache-over-rewritten-path pitfall), O(new) bytes
+    new_images = new_images.localCheckpoint()
     n_new = new_images.count()
     n_old = old_groups.count()
     if all_images.count() != n_old + n_new:
@@ -395,8 +413,8 @@ def incremental_add(spark: SparkSession, cfg: PipelineConfig,
     # lookup, not a corpus scan of stored image_ids
     t0 = time.time()
     clash = lookup_id_index(spark, id_path,
-                            new_images.select("image_id"),
-                            cfg).localCheckpoint()
+                            new_images.select("image_id"), cfg,
+                            idx_df=id_idx_df)
     pipe._record("add_lookup_idclash", clash, t0, skipped=False)
     if pipe.records[-1].rows_out:
         raise ValueError("new_images contains ids already in the build")
@@ -417,8 +435,9 @@ def incremental_add(spark: SparkSession, cfg: PipelineConfig,
     #    stored corpus' key columns are never scanned) -------------------
     nk = content_keys(new_images).localCheckpoint()
     t0 = time.time()
-    old_keys = lookup_ck_index(spark, ck_path, nk.select("ck"),
-                               cfg).localCheckpoint()  # O(new) rows
+    old_keys = lookup_ck_index(spark, ck_path, nk.select("ck"), cfg,
+                               idx_df=ck_idx_df) \
+        .localCheckpoint()  # O(new) rows
     pipe._record("add_lookup_ck", old_keys, t0, skipped=False)
     matched = (nk.join(F.broadcast(old_keys), "ck")
                .select("image_id", "rep_id", "ck"))
@@ -471,7 +490,7 @@ def incremental_add(spark: SparkSession, cfg: PipelineConfig,
     t0 = time.time()
     old_touched_reps = (lookup_id_index(spark, id_path,
                                         touched_imgs.select("image_id"),
-                                        cfg)
+                                        cfg, idx_df=id_idx_df)
                         .filter(F.col("is_rep"))
                         .select("image_id").localCheckpoint())
     pipe._record("add_lookup_touched_reps", old_touched_reps, t0,
@@ -541,7 +560,8 @@ def incremental_add(spark: SparkSession, cfg: PipelineConfig,
     # O(new edges + matched reps) rows read — the stored clusters table
     # is no longer scanned for this (only its pbucket-pruned affected
     # partitions are read below)
-    labels = (lookup_id_index(spark, id_path, endpoint_ids, cfg)
+    labels = (lookup_id_index(spark, id_path, endpoint_ids, cfg,
+                              idx_df=id_idx_df)
               .select("image_id", F.col("cluster_id").alias("label"))
               .localCheckpoint())  # small: O(new edges + matched reps)
     pipe._record("add_lookup_labels", labels, t0, skipped=False)
@@ -682,6 +702,7 @@ def incremental_add(spark: SparkSession, cfg: PipelineConfig,
     _apply_add_commit(pipe.fs, checkpoint_dir, manifest)
     pipe.fs.delete(mpath)
     pipe.fs.delete(staging)
+    pipe._flush_state()  # one lineage append for the whole add
     # the swap happened via raw FS renames, invisible to Spark's shared
     # file-status cache — refresh before re-listing (the documented
     # plan-cache-over-rewritten-path pitfall, FS-metadata edition)
