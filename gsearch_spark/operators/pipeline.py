@@ -495,8 +495,14 @@ def incremental_add(spark: SparkSession, cfg: PipelineConfig,
                         .select("image_id").localCheckpoint())
     pipe._record("add_lookup_touched_reps", old_touched_reps, t0,
                  skipped=False)
-    touched_reps = touched_imgs.join(
-        old_touched_reps.unionByName(new_rep_ids), "image_id", "left_semi")
+    # eager cut before the suffix pass: at bulk append sizes the
+    # rep-ness lookup takes the semi-join fallback and this subtree's
+    # exchanges get reused by both arms of the sfx_new union below —
+    # the documented AQE exchange-reuse zip bug ("Can't zip RDDs with
+    # unequal numbers of partitions", reproduced at a 10% append)
+    touched_reps = (touched_imgs.join(
+        old_touched_reps.unionByName(new_rep_ids), "image_id",
+        "left_semi").localCheckpoint())
     # sfx feeds BOTH union arms below — cut it first, or the shared
     # exchange under the two consumers trips the AQE reuse bug
     sfx = suffix_candidate_pairs(touched_reps).localCheckpoint()
