@@ -157,6 +157,30 @@ def _q_images_request_ani(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_images_request_ani(spark, path)
 
 
+def _q_ann_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference `ann` subcommand analog, stats half (gsearch
+    src/bin/gsearch.rs:784-852, src/utils/embed.rs:14-32): k-NN-graph
+    first-neighbor distance stats + hubness third moment."""
+    from gsearch_spark.operators.graphstats import graph_stats
+    ckpt = _run_image_pipeline(spark, sf_dir)
+    return graph_stats(spark, ckpt, sketch_size=_CFG.sketch_size)
+
+
+def _q_ann_hubness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gsearch_spark.operators.graphstats import hubness_histogram
+    ckpt = _run_image_pipeline(spark, sf_dir)
+    return hubness_histogram(spark, ckpt, sketch_size=_CFG.sketch_size)
+
+
+def _q_ann_embed2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference `ann` embedding half (src/utils/embed.rs:34-70):
+    deterministic 2-D spectral layout of the k-NN graph (rows-only;
+    the pytest oracle pins the spectral separation semantics)."""
+    from gsearch_spark.operators.graphstats import spectral_embed2d
+    ckpt = _run_image_pipeline(spark, sf_dir)
+    return spectral_embed2d(spark, ckpt, sketch_size=_CFG.sketch_size)
+
+
 def _q_images_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     ckpt = _run_image_pipeline(spark, sf_dir)
@@ -272,6 +296,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": text.q_quality_score,
         "lang_guess": text.q_lang_guess,
         "doc_fingerprint": text.q_doc_fingerprint,
+        # reference `ann` subcommand analogs (k-NN graph stats, hubness,
+        # 2-D spectral layout)
+        "ann_graph_stats": _q_ann_graph_stats,
+        "ann_hubness_histogram": _q_ann_hubness_histogram,
+        "ann_embed2d": _q_ann_embed2d,
         # similarity search
         "knn_cosine_topk": ann.q_knn_cosine_topk,
         "ann_lsh_buckets": ann.q_ann_lsh_buckets,
@@ -292,6 +321,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from gsearch_spark.operators.graphstats import (
+        sql_graph_stats as _sql_ann_graph_stats,
+        sql_hubness_histogram as _sql_ann_hubness_histogram)
     from gsearch_spark.operators.imagedup_sql import (sql_images_clusters,
                                                       sql_images_lsh_pairs,
                                                       sql_images_request_ani,
@@ -313,6 +345,8 @@ def oracle_sql() -> dict[str, str]:
             _SQL_IMAGES_KNN_ADJACENCY.format(edges=edges_glob),
         "images_band_stats":
             _SQL_IMAGES_BAND_STATS.format(bands=bands_glob),
+        "ann_graph_stats": _sql_ann_graph_stats(ckpt),
+        "ann_hubness_histogram": _sql_ann_hubness_histogram(ckpt),
         "images_sig_minhash": sql_images_sig_minhash(fixture_path),
         "images_lsh_pairs_sql": sql_images_lsh_pairs(fixture_path),
         "images_request_ani": sql_images_request_ani(fixture_path),
