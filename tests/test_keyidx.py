@@ -163,3 +163,32 @@ def test_add_path_reads_are_o_new(spark, keyidx_build):
         assert s in rows, sorted(rows)
         assert rows[s] <= n_new + rows.get("add_verified_edges", 0) * 2, \
             (s, rows[s], n_new)
+
+
+def test_add_after_compaction_matches_rebuild(spark, small_fixture_dir):
+    """LSM maintenance contract: compacting id_index between two adds
+    must not disturb generation continuity — the next add's delta (at
+    gen = counter+1, which compaction never rewinds) still wins
+    lookups, and clusters stay rebuild-identical."""
+    images = spark.read.parquet(f"{small_fixture_dir}/images.parquet")
+    ids = sorted(r["image_id"] for r in images.select("image_id").collect())
+    c1, c2 = ids[int(len(ids) * 0.6)], ids[int(len(ids) * 0.8)]
+    part1 = images.filter(F.col("image_id") < c1)
+    part2 = images.filter((F.col("image_id") >= c1)
+                          & (F.col("image_id") < c2))
+    part3 = images.filter(F.col("image_id") >= c2)
+    ckpt = "/tmp/gsearch_spark_ckpt_compact_add"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    NearDupPipeline(spark, CFG, ckpt).run(part1, resume=False)
+    incremental_add(spark, CFG, ckpt, part2, part1.unionByName(part2))
+    compact_id_index(spark, f"{ckpt}/id_index", CFG)
+    incremental_add(spark, CFG, ckpt, part3, images)
+    got = {r["image_id"]: r["cluster_id"] for r in
+           spark.read.parquet(f"{ckpt}/clusters")
+           .select("image_id", "cluster_id").collect()}
+    full = "/tmp/gsearch_spark_ckpt_compact_full"
+    shutil.rmtree(full, ignore_errors=True)
+    want = {r["image_id"]: r["cluster_id"] for r in
+            NearDupPipeline(spark, CFG, full).run(images,
+                                                  resume=False).collect()}
+    assert got == want
