@@ -7,6 +7,7 @@ reference user can drive the engine the same way they drive gsearch:
                                   [--algo optdens|revoptdens|prob] [...]
   python -m gsearch_spark add     -b BUILD_DIR -n new_images.parquet
   python -m gsearch_spark request -b BUILD_DIR -r queries.parquet -n 10
+  python -m gsearch_spark ann     -b BUILD_DIR [--stats] [--embed]
 
 ``tohnsw`` builds the checkpointed index (exact-collapse -> signatures ->
 salted bands -> pairs -> verify -> CC) and records parameters.json plus a
@@ -171,6 +172,44 @@ def cmd_request(args) -> int:
     return 0
 
 
+def cmd_ann(args) -> int:
+    """k-NN-graph statistics / hubness / 2-D embedding of a stored
+    build — the reference's ``ann`` subcommand (gsearch
+    ``src/bin/gsearch.rs:784-852``; stats+hubness
+    ``src/utils/embed.rs:14-32``, embedding dumped to
+    ``database_embedded.csv`` ``:60-66``)."""
+    from gsearch_spark.config import PipelineConfig
+    from gsearch_spark.fs import CheckpointFS
+    from gsearch_spark.operators.graphstats import (graph_stats,
+                                                    hubness_histogram,
+                                                    spectral_embed2d)
+    spark = _spark(args.cores)
+    cfg = PipelineConfig.reload_via(CheckpointFS(spark, args.build_dir),
+                                    args.build_dir)
+    if args.stats or not args.embed:
+        row = graph_stats(spark, args.build_dir,
+                          sketch_size=cfg.sketch_size).collect()[0]
+        print("graph stats:", row.asDict())
+        print("graph hubness estimation : "
+              f"{row['hubness_s3'] if row['hubness_s3'] is not None else 0.0:.3e}")
+        hist = (hubness_histogram(spark, args.build_dir,
+                                  sketch_size=cfg.sketch_size)
+                .orderBy("in_degree").collect())
+        print("hubness histogram:",
+              {r["in_degree"]: r["n_nodes"] for r in hist})
+    if args.embed:
+        out = os.path.join(args.build_dir, "database_embedded.csv")
+        emb = spectral_embed2d(spark, args.build_dir,
+                               sketch_size=cfg.sketch_size)
+        n = 0
+        with open(out, "w") as f:
+            for r in emb.orderBy("image_id").toLocalIterator():
+                f.write(f"{r['image_id']},{r['x']},{r['y']}\n")
+                n += 1
+        print(f"ann: embedded {n} items -> {out}")
+    return 0
+
+
 def main(argv: "list[str] | None" = None) -> int:
     ap = argparse.ArgumentParser(prog="gsearch_spark")
     ap.add_argument("--cores", type=int,
@@ -200,6 +239,16 @@ def main(argv: "list[str] | None" = None) -> int:
     p.add_argument("-n", "--newdir", required=True,
                    help="new images parquet path")
     p.set_defaults(fn=cmd_add)
+
+    p = sub.add_parser("ann", help="k-NN graph stats / hubness / 2-D "
+                                   "embedding of a stored build")
+    p.add_argument("-b", "--build-dir", required=True)
+    p.add_argument("--stats", action="store_true",
+                   help="print graph + hubness statistics (default when "
+                        "--embed is not given)")
+    p.add_argument("--embed", action="store_true",
+                   help="write database_embedded.csv beside the build")
+    p.set_defaults(fn=cmd_ann)
 
     p = sub.add_parser("request", help="top-k search against a build")
     p.add_argument("-b", "--build-dir", required=True)

@@ -48,6 +48,20 @@ def test_cli_tohnsw_request_add(spark, small_fixture_dir, capsys):
     out = capsys.readouterr().out
     assert "tohnsw: built" in out and "request:" in out and "add:" in out
 
+    # ann subcommand (reference src/bin/gsearch.rs:784-852): stats print
+    # + embedding CSV beside the build (database_embedded.csv, the
+    # reference's exact output file, src/utils/embed.rs:60-66)
+    assert cli_main(["--cores", "8", "ann", "-b", build,
+                     "--stats", "--embed"]) == 0
+    out = capsys.readouterr().out
+    assert "graph hubness estimation" in out and "graph stats:" in out
+    csv = f"{build}/database_embedded.csv"
+    assert os.path.exists(csv)
+    n_csv = sum(1 for _ in open(csv))
+    # embedded items = indexed items = exact-group representatives (the
+    # signatures table), exactly like the reference embeds index points
+    assert n_csv == pq.read_table(f"{build}/signatures").num_rows
+
 
 def test_cli_bucketed_build_and_add(spark, small_fixture_dir, capsys):
     """tohnsw --bucketed: payloads persist as an image_id-bucketed
