@@ -23,7 +23,7 @@ decoding anything.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 EXACT_GROUPS_SCHEMA = "image_id string, rep_id string, ck string"
 
@@ -45,26 +45,32 @@ def exact_groups(images: DataFrame) -> DataFrame:
     """images -> (image_id, rep_id, ck): one row per image, rep = min id
     of its exact-content group.
 
-    ONE scan of the payload bytes (the md5-over-bytes is the heavy part of
-    this stage) and ONE shuffle: the min-per-group is a window over ck, so
-    the groupBy + re-join form — which scanned (and md5'd) the images
-    twice — is gone.  ck is kept in the output so incremental adds can
-    group new rows against old groups without touching old bytes.
+    ONE scan of the payload bytes (the md5-over-bytes is the heavy part
+    of this stage), materialized as keys-only rows, then a skew-immune
+    two-step: min-per-ck via groupBy (map-side partial aggregation
+    collapses a 10^6-copy viral key to one row per map task BEFORE the
+    shuffle) and a join-back of the tiny (ck, rep_id) relation onto the
+    keys.  ck is kept in the output so incremental adds can group new
+    rows against old groups without touching old bytes.
 
-    Skew tradeoff (deliberate): the window lands every row of one ck in a
-    single task with no partial aggregation, so a viral key with 10^6
-    byte-identical copies becomes one straggler task — whereas the
-    groupBy form got map-side combine but md5'd the bytes twice.  The
-    window wins because the shuffled rows are (image_id, ck) KEYS only
-    (~100 B/row: a 10^6-copy bomb is ~100 MB in one task — slow, not
-    fatal, and AQE's skew-split does not apply to windows), while the
-    groupBy form's second byte scan is corpus-sized IO on every run.  If
-    a real corpus shows hotter keys than that, compute min via groupBy
-    (partial agg) and broadcast-join the (small) hot-key reps back."""
-    w = Window.partitionBy("ck")
-    return (content_keys(images)
-            .select("image_id",
-                    F.min("image_id").over(w).alias("rep_id"), "ck"))
+    History: rounds 1-4 used ``min over (partition by ck)`` — one
+    shuffle, but a window gives every row of one ck to a single task
+    with no partial aggregation and no AQE help, which the sf0.5 arm
+    measured as an 11x straggler (20 s flat across runs at 1.06M rows
+    with 10% skew bombs).  The groupBy form was originally rejected
+    because referencing the keys subtree twice re-scanned (and re-
+    md5'd) the payload bytes; ``localCheckpoint`` removes that — the
+    ~100 B/row key rows are materialized once and both consumers read
+    the materialization.  (At a real 10^12 deployment the same role is
+    played by the exact_groups checkpoint write itself: stage the keys
+    to distributed storage, then aggregate+join over the staged table.)
+    The join-back is skew-safe where the window was not: the bomb's
+    rows still co-locate, but sort-merge-join partitions are splittable
+    by AQE's skew-join rule (spark.sql.adaptive.skewJoin), and the
+    build side is one row per distinct ck."""
+    keys = content_keys(images).localCheckpoint()
+    reps = keys.groupBy("ck").agg(F.min("image_id").alias("rep_id"))
+    return keys.join(reps, "ck").select("image_id", "rep_id", "ck")
 
 
 def representatives(images: DataFrame, groups: DataFrame) -> DataFrame:
