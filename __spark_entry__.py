@@ -115,16 +115,26 @@ def _q_images_knn_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_images_request_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build-vs-probe: query the stored index with re-identified copies of
-    every 7th fixture image (each probe's exact content IS indexed, so a
-    distance-0 top-1 answer is guaranteed).  Reference `request`
-    subcommand semantics (gsearch src/dna/dnarequest.rs:64-388)."""
+    ~1/7th of the fixture images (each probe's exact content IS indexed,
+    so a distance-0 top-1 answer is guaranteed).  Reference `request`
+    subcommand semantics (gsearch src/dna/dnarequest.rs:64-388).
+
+    DuckDB-oracled (_SQL_IMAGES_REQUEST_TOPK): the oracle never decodes
+    a pixel — a probe's sketch equals its exact-group representative's
+    STORED sketch (same bytes + caption => same ck => bit-identical
+    signature by the determinism contract), so DuckDB replays the whole
+    probe path (band bucket join -> phash prefilter -> slot-agreement
+    distance -> windowed top-k) from the checkpoint parquet alone.  The
+    probe selector is md5-derived (not xxhash64) so both engines can
+    compute it."""
     from pyspark.sql import functions as F
     from gsearch_spark.operators.request import request
     ckpt = _run_image_pipeline(spark, sf_dir)
     fixture = _images_fixture(sf_dir)
     images = spark.read.parquet(os.path.join(fixture, "images.parquet"))
+    sel = F.conv(F.substring(F.md5("image_id"), 1, 15), 16, 10)
     probes = (images
-              .filter(F.pmod(F.xxhash64("image_id"), F.lit(7)) == 0)
+              .filter(sel.cast("long") % 7 == 0)
               .select(F.concat(F.lit("q_"), F.col("image_id"))
                       .alias("image_id"), "bytes", "caption", "phash"))
     return request(spark, ckpt, probes, k=3, max_distance=0.6)
@@ -258,6 +268,74 @@ FROM read_parquet('{bands}')
 GROUP BY band_id
 """
 
+# Build-vs-probe request replayed WITHOUT decoding a pixel: a probe is a
+# renamed copy of an indexed image, so its signature/bands equal its
+# exact-group representative's stored rows (determinism contract).  The
+# viral-bucket probe cap (max_bucket_probe=1024) is exact at this scale
+# (sf0.01 buckets max out far below the cap; default==exact is pinned in
+# tests/test_request.py), so the oracle needs no cap arm.  distance
+# mirrors request.rank_answers exactly: j_est = round(eq_slots/m, 6),
+# distance = round(1 - j_est, 6), rank over (distance, target_id).
+_SQL_IMAGES_REQUEST_TOPK = """
+WITH probes AS (
+  SELECT image_id AS orig_id, 'q_' || image_id AS query_id
+  FROM read_parquet('{fixture}')
+  WHERE ('0x' || substr(md5(image_id), 1, 15))::BIGINT % 7 = 0
+),
+rep AS (
+  SELECT p.query_id, g.rep_id
+  FROM probes p
+  JOIN read_parquet('{groups}') g ON g.image_id = p.orig_id
+),
+qsig AS (
+  SELECT r.query_id, s.minhash AS q_minhash, s.phash AS q_phash,
+         s.cap_hash AS q_cap
+  FROM rep r JOIN read_parquet('{sigs}') s ON s.image_id = r.rep_id
+),
+qbands AS (
+  SELECT DISTINCT r.query_id, b.band_id, b.band_hash
+  FROM rep r JOIN read_parquet('{bands}') b ON b.image_id = r.rep_id
+),
+cands AS (
+  SELECT DISTINCT q.query_id, b.image_id AS target_id
+  FROM qbands q
+  JOIN read_parquet('{bands}') b
+    ON b.band_id = q.band_id AND b.band_hash = q.band_hash
+),
+scored AS (
+  SELECT c.query_id, c.target_id,
+         bit_count(xor(q.q_phash, t.phash)) AS phash_ham,
+         len(list_filter(list_zip(q.q_minhash, t.minhash),
+                         x -> x[1] = x[2])) AS eq_slots,
+         (q.q_cap = t.cap_hash) AS caption_eq
+  FROM cands c
+  JOIN qsig q ON q.query_id = c.query_id
+  JOIN read_parquet('{sigs}') t ON t.image_id = c.target_id
+  WHERE bit_count(xor(q.q_phash, t.phash)) <= {prefilter}
+),
+d AS (
+  SELECT query_id, target_id,
+         round(eq_slots / {m}.0, 6) AS j_est,
+         CAST(phash_ham AS INTEGER) AS phash_ham, caption_eq,
+         round(1.0 - round(eq_slots / {m}.0, 6), 6) AS distance
+  FROM scored
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY distance ASC, target_id) AS rank
+  FROM d WHERE distance <= 0.6
+)
+SELECT query_id, target_id, j_est, phash_ham, caption_eq, distance,
+       CAST(rank AS INTEGER) AS rank,
+       CASE WHEN j_est > 0 THEN
+         round((1.0 + ln(2.0 * j_est / (1.0 + j_est)) / {kmer}.0)
+               * 100.0, 6) END AS ani,
+       CASE WHEN j_est > 0 THEN
+         round(pow(2.0 * j_est / (1.0 + j_est), 1.0 / {kmer}.0)
+               * 100.0, 6) END AS ani_m2
+FROM rk WHERE rank <= 3
+"""
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -336,7 +414,14 @@ def oracle_sql() -> dict[str, str]:
     ckpt = _oracle_ckpt()
     edges_glob = os.path.join(ckpt, "verified_edges", "*.parquet")
     bands_glob = os.path.join(ckpt, "bands", "*.parquet")
+    groups_glob = os.path.join(ckpt, "exact_groups", "*.parquet")
+    sigs_glob = os.path.join(ckpt, "signatures", "*.parquet")
     return {
+        "images_request_topk": _SQL_IMAGES_REQUEST_TOPK.format(
+            fixture=fixture_path,
+            groups=groups_glob, bands=bands_glob, sigs=sigs_glob,
+            prefilter=_CFG.prefilter_max_phash_hamming,
+            m=_CFG.sketch_size, kmer=_CFG.caption_kgram),
         # report family: window/group SQL over the build's checkpoint
         # parquet (DuckDB reads the same files the Spark queries read)
         "images_topk_report":
