@@ -268,6 +268,36 @@ FROM read_parquet('{bands}')
 GROUP BY band_id
 """
 
+# The flagship cluster assignment, independently recomputed: DuckDB runs
+# recursive-CTE reachability over the checkpointed verified_edges and
+# re-expands exact-group members onto their representative's component —
+# gating the pipeline's small-star/large-star CC + expansion logic
+# against a from-first-principles reachability labeling of the same
+# edge set.
+# cluster_id = min member id of the component (rep = min of its group,
+# label = min rep of the component => min member overall).
+_SQL_IMAGES_NEARDUP_CLUSTERS = """
+WITH RECURSIVE
+groups AS (SELECT image_id, rep_id FROM read_parquet('{groups}')),
+reps AS (SELECT DISTINCT rep_id FROM groups),
+edges AS (SELECT a, b FROM read_parquet('{edges}')),
+bidir AS (
+  SELECT a AS u, b AS v FROM edges
+  UNION
+  SELECT b AS u, a AS v FROM edges
+),
+reach(u, label) AS (
+  SELECT rep_id, rep_id FROM reps
+  UNION
+  SELECT e.v, r.label FROM reach r JOIN bidir e ON e.u = r.u
+),
+rep_label AS (
+  SELECT u AS rep_id, min(label) AS cluster_id FROM reach GROUP BY u
+)
+SELECT g.image_id, rl.cluster_id
+FROM groups g JOIN rep_label rl USING (rep_id)
+"""
+
 # Build-vs-probe request replayed WITHOUT decoding a pixel: a probe is a
 # renamed copy of an indexed image, so its signature/bands equal its
 # exact-group representative's stored rows (determinism contract).  The
@@ -417,6 +447,8 @@ def oracle_sql() -> dict[str, str]:
     groups_glob = os.path.join(ckpt, "exact_groups", "*.parquet")
     sigs_glob = os.path.join(ckpt, "signatures", "*.parquet")
     return {
+        "images_neardup_clusters": _SQL_IMAGES_NEARDUP_CLUSTERS.format(
+            groups=groups_glob, edges=edges_glob),
         "images_request_topk": _SQL_IMAGES_REQUEST_TOPK.format(
             fixture=fixture_path,
             groups=groups_glob, bands=bands_glob, sigs=sigs_glob,
