@@ -441,10 +441,17 @@ def incremental_add(spark: SparkSession, cfg: PipelineConfig,
     pipe._record("add_lookup_ck", old_keys, t0, skipped=False)
     matched = (nk.join(F.broadcast(old_keys), "ck")
                .select("image_id", "rep_id", "ck"))
-    w_ck = Window.partitionBy("ck")
-    fresh = (nk.join(F.broadcast(old_keys.select("ck")), "ck", "left_anti")
-             .select("image_id",
-                     F.min("image_id").over(w_ck).alias("rep_id"), "ck"))
+    # same skew-immune form as the full build's exact_groups (a bulk
+    # append can carry a viral bomb too): min-per-ck via groupBy gets
+    # map-side combine, the join-back is AQE-skew-splittable; the
+    # anti-join re-runs per consumer but over the localCheckpointed
+    # keys-only nk — no byte rescan
+    fresh_keys = nk.join(F.broadcast(old_keys.select("ck")), "ck",
+                         "left_anti")
+    fresh_reps = (fresh_keys.groupBy("ck")
+                  .agg(F.min("image_id").alias("rep_id")))
+    fresh = (fresh_keys.join(fresh_reps, "ck")
+             .select("image_id", "rep_id", "ck"))
     new_groups = stage("exact_groups", matched.unionByName(fresh))
 
     # -- sketch only brand-new representatives ---------------------------
