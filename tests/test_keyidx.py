@@ -117,6 +117,31 @@ def test_lookup_plan_partition_and_rowgroup_prunes(spark, keyidx_build):
     assert part_filter.strip(" [") != "", plan
 
 
+def test_lookup_midsize_broadcast_semi_same_result(spark, keyidx_build):
+    """Probe sets past INLIST_MAX (but under add_lookup_max_literals)
+    take the broadcast-LocalRelation semi join: same rows as the
+    point-lookup form, partition pruning still bound, and no large
+    IN-list on the key column in the executed plan."""
+    from gsearch_spark.operators import keyidx
+
+    probe = (keyidx_build["images"].select("image_id")
+             .limit(keyidx.INLIST_MAX + 20).localCheckpoint())
+    out = lookup_id_index(spark, f"{CKPT}/id_index", probe, CFG)
+    got = {(r["image_id"], r["cluster_id"], r["is_rep"])
+           for r in out.collect()}
+    # ground truth via the full-scan latest-gen state
+    full = _full_id_state(spark)
+    want = {(r["image_id"],) + full[r["image_id"]]
+            for r in probe.collect() if r["image_id"] in full}
+    assert got == want and len(got) > keyidx.INLIST_MAX
+    plan = _plan(out)
+    assert "PartitionFilters: [" in plan and "ib#" in plan.split(
+        "PartitionFilters:")[1].split("]")[0], plan
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "In(image_id" not in pushed, plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
 def test_lookup_semi_join_fallback_same_result(spark, keyidx_build):
     """Probe sets past add_lookup_max_literals degrade to a semi join
     over the partition-pruned slice — same rows, no IN-list."""
