@@ -97,13 +97,24 @@ def cmd_tohnsw(args) -> int:
 def cmd_add(args) -> int:
     from gsearch_spark.config import PipelineConfig
     from gsearch_spark.fs import CheckpointFS
-    from gsearch_spark.operators.pipeline import (incremental_add,
+    from gsearch_spark.operators.pipeline import (add_writer_lock,
+                                                  incremental_add,
                                                   recover_add_commit)
     spark = _spark(args.cores)
     fs = CheckpointFS(spark, args.build_dir)
     cfg = PipelineConfig.reload_via(fs, args.build_dir)  # original config
     manifest = json.loads(fs.read_text(_manifest_path(args.build_dir)))
     new_images = spark.read.parquet(args.newdir)
+    # ONE writer lock spans recovery + payload append + the add itself,
+    # so a concurrent add can't interleave between our payload append
+    # and the build commit (incremental_add re-enters it as a no-op)
+    with add_writer_lock(spark, args.build_dir):
+        return _cmd_add_locked(args, spark, fs, cfg, manifest, new_images)
+
+
+def _cmd_add_locked(args, spark, fs, cfg, manifest, new_images) -> int:
+    from gsearch_spark.operators.pipeline import (incremental_add,
+                                                  recover_add_commit)
     recover_add_commit(spark, args.build_dir)  # torn commit: roll forward
     if manifest.get("payload_table"):
         # bucketed build: append new payloads into the bucketed table
@@ -140,6 +151,46 @@ def cmd_add(args) -> int:
     manifest["sources"].append(args.newdir)
     fs.write_text(_manifest_path(args.build_dir), json.dumps(manifest))
     print(f"add: {args.newdir} added; {clusters.count()} assignments")
+    return 0
+
+
+def cmd_compact(args) -> int:
+    """Offline id_index maintenance: rewrite the LSM generations down to
+    one latest row per image (the Iceberg rewrite-data-files analog).
+    Run when the stale fraction grows; takes the build's writer lock."""
+    from gsearch_spark.config import PipelineConfig
+    from gsearch_spark.fs import CheckpointFS
+    from gsearch_spark.operators.keyidx import compact_id_index
+    spark = _spark(args.cores)
+    cfg = PipelineConfig.reload_via(CheckpointFS(spark, args.build_dir),
+                                    args.build_dir)
+    path = os.path.join(args.build_dir, "id_index")
+    before = spark.read.parquet(path).count()
+    compact_id_index(spark, path, cfg)
+    after = spark.read.parquet(path).count()
+    print(f"compact: id_index {before} -> {after} rows")
+    return 0
+
+
+def cmd_unlock(args) -> int:
+    """Break a stale single-writer add lock (e.g. a writer that died on
+    ANOTHER host, where pid liveness can't be probed; dead same-host
+    writers self-heal without this).  Refuses nothing — the operator is
+    asserting the writer is gone."""
+    from gsearch_spark.fs import CheckpointFS
+    from gsearch_spark.operators.pipeline import ADD_LOCK
+    spark = _spark(args.cores)
+    fs = CheckpointFS(spark, args.build_dir)
+    path = os.path.join(args.build_dir, ADD_LOCK)
+    if not fs.exists(path):
+        print("unlock: no lock held")
+        return 0
+    try:
+        held = fs.read_text(path)
+    except Exception:
+        held = "<unreadable>"
+    fs.delete(path)
+    print(f"unlock: removed lock {held}")
     return 0
 
 
@@ -239,6 +290,15 @@ def main(argv: "list[str] | None" = None) -> int:
     p.add_argument("-n", "--newdir", required=True,
                    help="new images parquet path")
     p.set_defaults(fn=cmd_add)
+
+    p = sub.add_parser("compact", help="rewrite id_index to one latest "
+                                       "row per image (offline maintenance)")
+    p.add_argument("-b", "--build-dir", required=True)
+    p.set_defaults(fn=cmd_compact)
+
+    p = sub.add_parser("unlock", help="break a stale single-writer add lock")
+    p.add_argument("-b", "--build-dir", required=True)
+    p.set_defaults(fn=cmd_unlock)
 
     p = sub.add_parser("ann", help="k-NN graph stats / hubness / 2-D "
                                    "embedding of a stored build")

@@ -73,6 +73,19 @@ class CheckpointFS:
         return [str(st.getPath().toString())
                 for st in self._fs.listStatus(self._p(path))]
 
+    def create_atomic(self, path: str, text: str) -> bool:
+        """Create ``path`` with ``text`` ONLY if it does not already
+        exist (Hadoop ``createNewFile`` — atomic on HDFS/posix; object
+        stores degrade to check-then-create, the standard Hadoop
+        caveat).  Returns False, touching nothing, when the file is
+        already there.  This is the mutual-exclusion primitive behind
+        the single-writer add lock."""
+        if not bool(self._fs.createNewFile(self._p(path))):
+            return False
+        # we won the create: filling in the body is race-free
+        self.write_text(path, text)
+        return True
+
     def write_text(self, path: str, text: str) -> None:
         out = self._fs.create(self._p(path), True)
         try:

@@ -199,19 +199,26 @@ def compact_id_index(spark: SparkSession, path: str,
     """Rewrite id_index down to one latest row per image (offline
     maintenance; the Iceberg rewrite-data-files analog).  Keeps each
     image's max gen so subsequent adds (whose gens come from the
-    monotonically increasing commit counter) still win lookups."""
-    compacted = (spark.read.parquet(path)
-                 .groupBy("image_id")
-                 .agg(F.max_by("cluster_id", "gen").alias("cluster_id"),
-                      F.bool_or("is_rep").alias("is_rep"),
-                      F.max("gen").alias("gen"))
-                 .withColumn("ib", _kb("image_id", cfg.key_buckets))
-                 .repartition(cfg.key_buckets, F.col("ib"))
-                 .sortWithinPartitions("image_id"))
-    tmp = f"{path}__compact"
-    compacted.write.mode("overwrite").partitionBy("ib").parquet(tmp)
-    from gsearch_spark.fs import CheckpointFS
-    fs = CheckpointFS(spark, path)
-    fs.delete(path)
-    fs.rename(tmp, path)
-    spark.catalog.refreshByPath(path)
+    monotonically increasing commit counter) still win lookups.
+
+    Takes the build's single-writer mutation lock (re-entrant): a
+    compaction racing an add could drop the add's freshly appended
+    generation rows."""
+    from gsearch_spark.operators.pipeline import add_writer_lock
+    ckpt_dir = path.rsplit("/", 1)[0]
+    with add_writer_lock(spark, ckpt_dir):
+        compacted = (spark.read.parquet(path)
+                     .groupBy("image_id")
+                     .agg(F.max_by("cluster_id", "gen").alias("cluster_id"),
+                          F.bool_or("is_rep").alias("is_rep"),
+                          F.max("gen").alias("gen"))
+                     .withColumn("ib", _kb("image_id", cfg.key_buckets))
+                     .repartition(cfg.key_buckets, F.col("ib"))
+                     .sortWithinPartitions("image_id"))
+        tmp = f"{path}__compact"
+        compacted.write.mode("overwrite").partitionBy("ib").parquet(tmp)
+        from gsearch_spark.fs import CheckpointFS
+        fs = CheckpointFS(spark, path)
+        fs.delete(path)
+        fs.rename(tmp, path)
+        spark.catalog.refreshByPath(path)

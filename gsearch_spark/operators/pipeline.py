@@ -23,6 +23,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -46,6 +47,84 @@ ADD_MANIFEST = "_add_commit_manifest.json"
 # current id_index generation (monotone add counter); bumped inside the
 # manifest-protected commit so torn commits roll the counter forward too
 ID_GEN_FILE = "_id_index_gen"
+# single-writer mutation lock (append-only add / streaming append /
+# id_index compaction).  The manifest commit protocol is single-writer
+# by design — two interleaved adds could stage conflicting cluster
+# partition swaps — so concurrent writers must be REFUSED, not raced.
+# The reference has the same property implicitly (one process owns the
+# memory-mapped HNSW during add, src/bin/gsearch.rs:488-505).
+ADD_LOCK = "_add_lock"
+
+
+class ConcurrentAddError(RuntimeError):
+    """Another writer holds the build's mutation lock."""
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(int(pid), 0)
+    except (ProcessLookupError, ValueError):
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    return True
+
+
+def acquire_add_lock(fs: "CheckpointFS", checkpoint_dir: str) -> bool:
+    """Take the build's single-writer mutation lock.
+
+    Returns True when THIS call took ownership (the caller must release)
+    and False when the current process already holds it (re-entrant:
+    ``add_writer_lock`` around a payload-append + ``incremental_add``
+    sequence, with the inner add a no-op acquire).  A lock whose
+    recorded pid is dead on this host is crash residue and self-heals;
+    a live holder (or one on another host, where liveness can't be
+    probed) raises :class:`ConcurrentAddError` — break a known-stale
+    cross-host lock explicitly with ``python -m gsearch_spark unlock``.
+    """
+    import socket
+    path = f"{checkpoint_dir}/{ADD_LOCK}"
+    me = {"pid": os.getpid(), "host": socket.gethostname(),
+          "ts": time.time()}
+    for attempt in (0, 1):
+        if fs.create_atomic(path, json.dumps(me)):
+            return True
+        try:
+            held = json.loads(fs.read_text(path))
+        except Exception:
+            held = {}
+        same_host = held.get("host") == me["host"]
+        if same_host and held.get("pid") == me["pid"]:
+            return False  # re-entrant: we already own it
+        if (attempt == 0 and same_host and held.get("pid")
+                and not _pid_alive(held["pid"])):
+            fs.delete(path)  # dead writer on this host: self-heal
+            continue
+        raise ConcurrentAddError(
+            f"build is locked by another writer (pid {held.get('pid')} "
+            f"on {held.get('host')}, since ts={held.get('ts')}); if that "
+            "writer is known dead, run `python -m gsearch_spark unlock "
+            f"-b {checkpoint_dir}`")
+    raise ConcurrentAddError(f"could not acquire {path}")  # pragma: no cover
+
+
+def release_add_lock(fs: "CheckpointFS", checkpoint_dir: str) -> None:
+    fs.delete(f"{checkpoint_dir}/{ADD_LOCK}")
+
+
+@contextmanager
+def add_writer_lock(spark: SparkSession, checkpoint_dir: str):
+    """Hold the build's single-writer mutation lock for a multi-step
+    mutation (payload append + add, per-microbatch streaming append,
+    compaction).  Re-entrant within one process; released only by the
+    outermost holder."""
+    fs = CheckpointFS(spark, checkpoint_dir)
+    owner = acquire_add_lock(fs, checkpoint_dir)
+    try:
+        yield
+    finally:
+        if owner:
+            release_add_lock(fs, checkpoint_dir)
 
 
 def cluster_pbucket(cfg: PipelineConfig) -> "F.Column":
@@ -355,11 +434,36 @@ def incremental_add(spark: SparkSession, cfg: PipelineConfig,
     with no corpus-sized post-pass (src/dna/dnasketch.rs:106-134) but
     offers no torn-commit recovery.
 
+    Mutation is SINGLE-WRITER: the add takes the build's ``_add_lock``
+    before reading any state and refuses (:class:`ConcurrentAddError`)
+    while another writer holds it — the manifest commit protocol admits
+    one writer by design.  Dead same-host holders self-heal; a stale
+    cross-host lock is broken explicitly with the ``unlock`` subcommand.
+    Re-entrant under an enclosing :func:`add_writer_lock` (how the CLI
+    and the streaming sink hold one lock across payload-append + add).
+
     ``all_images`` must be old ∪ new (verify needs both sides' payloads;
     at scale, back it with a table whose layout supports id lookups —
     Iceberg bucket pruning — so the payload attach reads only candidate
     row groups).  Returns the new clusters DataFrame.
     """
+    pipe = NearDupPipeline(spark, cfg, checkpoint_dir)
+    # single-writer refusal BEFORE any state is read: the manifest
+    # commit protocol admits exactly one writer (re-entrant under an
+    # enclosing add_writer_lock; dead same-host holders self-heal)
+    lock_owner = acquire_add_lock(pipe.fs, checkpoint_dir)
+    try:
+        return _incremental_add_locked(spark, cfg, checkpoint_dir,
+                                       new_images, all_images, pipe)
+    finally:
+        if lock_owner:
+            release_add_lock(pipe.fs, checkpoint_dir)
+
+
+def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
+                            checkpoint_dir: str, new_images: DataFrame,
+                            all_images: DataFrame,
+                            pipe: NearDupPipeline) -> DataFrame:
     from pyspark.sql import Window
     from gsearch_spark.operators.banding import explode_all_bands
     from gsearch_spark.operators.candidates import (emit_bucket_pairs,
@@ -373,7 +477,6 @@ def incremental_add(spark: SparkSession, cfg: PipelineConfig,
     from gsearch_spark.operators.verify import (attach_payloads,
                                                 prefilter_pairs, verify_pairs)
 
-    pipe = NearDupPipeline(spark, cfg, checkpoint_dir)
     cfg.assert_matches_via(pipe.fs, checkpoint_dir)
     recover_add_commit(spark, checkpoint_dir)  # finish any torn commit
 

@@ -186,8 +186,17 @@ def stream_append_images(spark: SparkSession, cfg, checkpoint_dir: str,
     from gsearch_spark.operators.pipeline import (incremental_add,
                                                   recover_add_commit)
 
+    from gsearch_spark.operators.pipeline import add_writer_lock
+
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
+        # one writer lock per micro-batch spans recovery + payload
+        # append + add (incremental_add re-enters it as a no-op), so an
+        # out-of-band `add`/`compact` can't interleave mid-batch
+        with add_writer_lock(s, checkpoint_dir):
+            _on_batch_locked(s, batch_df)
+
+    def _on_batch_locked(s, batch_df: DataFrame) -> None:
         recover_add_commit(s, checkpoint_dir)  # torn commit => roll forward
         batch_df = batch_df.localCheckpoint()
         known = (lookup_id_index(s, f"{checkpoint_dir}/id_index",
