@@ -21,8 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from gsearch_spark.config import PipelineConfig  # noqa: E402
-from gsearch_spark.operators import (ann, bloomslice, relational,  # noqa: E402
-                                     text, textdedup)
+from gsearch_spark.operators import (ann, bloomslice, profilesearch,  # noqa: E402
+                                     relational, text, textdedup)
 
 _CACHE_ROOT = "/tmp/gsearch_spark_entry"
 _CFG = PipelineConfig()
@@ -404,6 +404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": text.q_quality_score,
         "lang_guess": text.q_lang_guess,
         "doc_fingerprint": text.q_doc_fingerprint,
+        # hmmsearch_rs analog: PWM profile search / template screen
+        "profile_motif_search": profilesearch.q_profile_motif_search,
         # reference `ann` subcommand analogs (k-NN graph stats, hubness,
         # 2-D spectral layout)
         "ann_graph_stats": _q_ann_graph_stats,
@@ -481,6 +483,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_union_cardinality": textdedup.SQL_KMV_UNION_CARDINALITY,
         "bloom_bitslice_screen": bloomslice.SQL_BLOOM_BITSLICE_SCREEN,
         "bloom_screen_significance": bloomslice.SQL_BLOOM_SCREEN_SIGNIFICANCE,
+        "profile_motif_search": profilesearch.SQL_PROFILE_MOTIF_SEARCH,
         "token_count": text.SQL_TOKEN_COUNT,
         "quality_score": text.SQL_QUALITY_SCORE,
         "lang_guess": text.SQL_LANG_GUESS,

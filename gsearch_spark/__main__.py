@@ -194,6 +194,27 @@ def cmd_unlock(args) -> int:
     return 0
 
 
+def cmd_hmmsearch(args) -> int:
+    """PWM profile search over document text — the ``hmmsearch_rs``
+    analog (reference wraps HMMER to score sequences against HMM
+    profiles and emit a tabular report, gsearch ``README.md:353-374``).
+    ``--motifs`` swaps the stock template-contamination profiles for a
+    JSON ``{profile_id: 8-char motif}`` file (the custom-HMM case)."""
+    from gsearch_spark.operators.profilesearch import (MOTIFS, _profiles_df,
+                                                       profile_motif_search)
+    spark = _spark(args.cores)
+    motifs = dict(MOTIFS)
+    if args.motifs:
+        with open(args.motifs) as f:
+            motifs = json.load(f)
+    docs = spark.read.parquet(args.docs).select("doc_id", "text")
+    hits = profile_motif_search(docs, _profiles_df(spark, motifs))
+    hits.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(f"hmmsearch: {n} (doc, profile) rows -> {args.output}")
+    return 0
+
+
 def cmd_request(args) -> int:
     from pyspark.sql import functions as F
     from gsearch_spark.operators.request import request
@@ -299,6 +320,18 @@ def main(argv: "list[str] | None" = None) -> int:
     p = sub.add_parser("unlock", help="break a stale single-writer add lock")
     p.add_argument("-b", "--build-dir", required=True)
     p.set_defaults(fn=cmd_unlock)
+
+    p = sub.add_parser("hmmsearch", help="PWM profile search over "
+                                         "document text (hmmsearch_rs "
+                                         "analog / template screen)")
+    p.add_argument("-d", "--docs", required=True,
+                   help="documents parquet (doc_id, text)")
+    p.add_argument("-m", "--motifs",
+                   help="JSON {profile_id: 8-char motif}; default = stock "
+                        "template-contamination profiles")
+    p.add_argument("-o", "--output", required=True,
+                   help="output parquet path")
+    p.set_defaults(fn=cmd_hmmsearch)
 
     p = sub.add_parser("ann", help="k-NN graph stats / hubness / 2-D "
                                    "embedding of a stored build")
