@@ -191,6 +191,12 @@ def _q_ann_embed2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spectral_embed2d(spark, ckpt, sketch_size=_CFG.sketch_size)
 
 
+def _q_caption_extract_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gsearch_spark.operators.captionextract import \
+        q_caption_extract_tokens
+    return q_caption_extract_tokens(spark, _images_fixture(sf_dir))
+
+
 def _q_images_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     ckpt = _run_image_pipeline(spark, sf_dir)
@@ -406,6 +412,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": text.q_doc_fingerprint,
         # hmmsearch_rs analog: PWM profile search / template screen
         "profile_motif_search": profilesearch.q_profile_motif_search,
+        # FragGeneScanRs analog: pseudo-captions from pixels (rows-only;
+        # pixel-bound — pytest-oracled in test_captionextract.py)
+        "caption_extract_tokens": _q_caption_extract_tokens,
         # reference `ann` subcommand analogs (k-NN graph stats, hubness,
         # 2-D spectral layout)
         "ann_graph_stats": _q_ann_graph_stats,

@@ -215,6 +215,24 @@ def cmd_hmmsearch(args) -> int:
     return 0
 
 
+def cmd_predict_captions(args) -> int:
+    """Predict pseudo-captions for caption-less rows — the
+    FragGeneScanRs analog (reference: standalone gene-prediction
+    preprocessing run before the AA-pathway build,
+    ``binaux/src/bin/FragGeneScanRs.rs:26-120``).  The output parquet
+    has the input schema plus ``caption_predicted`` and feeds
+    ``tohnsw`` exactly like a captioned table."""
+    from gsearch_spark.operators.captionextract import \
+        extract_pseudo_captions
+    spark = _spark(args.cores)
+    images = spark.read.parquet(args.docs)
+    out = extract_pseudo_captions(images)
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).filter("caption_predicted").count()
+    print(f"predict-captions: {n} captions predicted -> {args.output}")
+    return 0
+
+
 def cmd_request(args) -> int:
     from pyspark.sql import functions as F
     from gsearch_spark.operators.request import request
@@ -320,6 +338,15 @@ def main(argv: "list[str] | None" = None) -> int:
     p = sub.add_parser("unlock", help="break a stale single-writer add lock")
     p.add_argument("-b", "--build-dir", required=True)
     p.set_defaults(fn=cmd_unlock)
+
+    p = sub.add_parser("predict-captions",
+                       help="predict visual-word pseudo-captions for "
+                            "caption-less rows (FragGeneScanRs analog)")
+    p.add_argument("-d", "--docs", required=True,
+                   help="images parquet (image_id, bytes, ..., caption)")
+    p.add_argument("-o", "--output", required=True,
+                   help="output parquet path")
+    p.set_defaults(fn=cmd_predict_captions)
 
     p = sub.add_parser("hmmsearch", help="PWM profile search over "
                                          "document text (hmmsearch_rs "
