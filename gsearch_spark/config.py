@@ -125,6 +125,13 @@ class PipelineConfig:
     # persisted index O(1) by rank and never rescans it
     # (src/dna/dnasketch.rs:106-134) — this is the columnar analog.
     key_buckets: int = 64
+    # checkpoint LAYOUT generation, bumped when the on-disk sidecar
+    # schemas change (2 = id_index carries the founding-group rep_id
+    # column + the edge_index connectivity sidecar exists, enabling
+    # remove_images).  Participates in config_hash/parameters.json, so
+    # resuming or appending to a checkpoint written by an older layout
+    # refuses loudly instead of mis-reading it.
+    layout_version: int = 2
     # probe key sets up to this size ship as IN-list literals (parquet
     # row-group stats pruning); larger sets fall back to a semi join over
     # the partition-pruned slice (still never the whole table)
@@ -183,7 +190,12 @@ class PipelineConfig:
 
     @classmethod
     def from_json(cls, text: str) -> "PipelineConfig":
-        return cls(**json.loads(text))
+        d = json.loads(text)
+        # parameters.json written before the layout_version field existed
+        # describes a layout-1 checkpoint — do NOT let the dataclass
+        # default claim otherwise, so the hash discipline refuses it
+        d.setdefault("layout_version", 1)
+        return cls(**d)
 
     def config_hash(self) -> str:
         """Stable hash over every signature-affecting field."""

@@ -22,10 +22,11 @@ Spark-first re-expression over the stored build:
   doubles, and the skewness is derived from exact INTEGER moment sums
   in one identical closing expression — both engines hash-match
   bit-for-bit;
-* the 2-D embedding is a deterministic spectral layout: power
-  iteration with Gram-Schmidt deflation on the symmetrically
-  normalized adjacency D^-1/2 A D^-1/2 (the classic spectral-drawing
-  construction the reference's dmap_init approximates).  Each
+* the 2-D embedding is a deterministic anchor-plus-contraction layout
+  (hash-anchored init, then iterated neighbor-mean attraction — the
+  attraction half of annembed's gradient with anchors as the repulsion
+  term; see :func:`spectral_embed2d` for why a global spectral drawing
+  is deliberately not used on a many-component near-dup graph).  Each
   iteration is ONE shuffle (group the edge list by destination) plus
   driver-side scalar reductions, so the layout runs at any scale the
   edge list itself fits; lineage is cut per iteration.

@@ -18,7 +18,7 @@ the build whose LAYOUT makes point lookups prune to O(probed keys) IO.
     keys.
 
 ``id_index``  (image_id string, cluster_id string, is_rep boolean,
-               gen int)
+               rep_id string, gen int)
     One row per (image, generation), hive-partitioned on
     ``ib = xxhash64(image_id) % key_buckets`` and sorted by
     ``image_id`` within files.  Cluster labels change when components
@@ -27,10 +27,14 @@ the build whose LAYOUT makes point lookups prune to O(probed keys) IO.
     per re-labelled / new member at ``gen = <add number>``; lookups
     resolve ``max_by(cluster_id, gen)``.  ``is_rep`` is immutable and
     set only on a row's first appearance, so it resolves as
-    ``bool_or`` across generations.  :func:`compact_id_index` rewrites
-    the table down to one row per image (run it offline when the stale
-    fraction grows; at 10^12 scale this is the routine Iceberg
-    rewrite-data-files maintenance job).
+    ``bool_or`` across generations.  ``rep_id`` is the image's FOUNDING
+    exact-group node (the group's first representative — the stable
+    node name of the dedup graph, immutable even if that image is later
+    tombstoned by ``remove_images``): written on first appearance, null
+    on relabel rows, resolved as ``max()`` (SQL aggregates skip nulls).
+    :func:`compact_id_index` rewrites the table down to one row per
+    image (run it offline when the stale fraction grows; at 10^12 scale
+    this is the routine Iceberg rewrite-data-files maintenance job).
 
 Both probes follow one pattern (:func:`_pruned`): the touched partition
 list is computed from the probe keys (at most ``min(|keys|,
@@ -50,6 +54,17 @@ from gsearch_spark.config import PipelineConfig
 
 CK_INDEX = "ck_index"
 ID_INDEX = "id_index"
+EDGE_INDEX = "edge_index"
+# explicit read schema: a build with no verified edges writes a LEGAL
+# empty edge_index (only _SUCCESS), which parquet schema inference
+# cannot read back — every edge_index read declares this instead
+EDGE_SCHEMA = "a string, b string, eb int"
+
+
+def read_edge_index(spark: SparkSession, path: str) -> DataFrame:
+    """Read the edge sidecar with its declared schema (an edge-free
+    build's table is empty — inference would fail)."""
+    return spark.read.schema(EDGE_SCHEMA).parquet(path)
 
 # Key-filter strategy switch inside a partition-pruned lookup.  Up to
 # this many probe keys ship as an IN-list: parquet's in-filter pushdown
@@ -92,12 +107,13 @@ def write_ck_index(groups: DataFrame, path: str,
 
 def write_id_index(clusters: DataFrame, groups: DataFrame, path: str,
                    cfg: PipelineConfig) -> None:
-    """Full build: one (image_id, cluster_id, is_rep, gen=0) row per
-    image.  ``clusters`` is the expanded (image_id, cluster_id) table;
-    rep-ness joins in from the exact groups."""
+    """Full build: one (image_id, cluster_id, is_rep, rep_id, gen=0)
+    row per image.  ``clusters`` is the expanded (image_id, cluster_id)
+    table; rep-ness and the founding group node join in from the exact
+    groups."""
     flags = groups.select("image_id",
                           (F.col("image_id") == F.col("rep_id"))
-                          .alias("is_rep"))
+                          .alias("is_rep"), "rep_id")
     (clusters.select("image_id", "cluster_id")
      .join(flags, "image_id")
      .withColumn("gen", F.lit(0))
@@ -123,16 +139,72 @@ def stage_ck_append(fresh_groups: DataFrame, staging_dir: str,
 
 def stage_id_append(delta: DataFrame, gen: int, staging_dir: str,
                     cfg: PipelineConfig) -> None:
-    """Stage the add's (image_id, cluster_id, is_rep) delta rows at
-    generation ``gen`` (strictly increasing per add, carried in the
-    commit manifest so a torn commit can roll forward idempotently)."""
-    (delta.select("image_id", "cluster_id", "is_rep")
+    """Stage a mutation's (image_id, cluster_id, is_rep, rep_id) delta
+    rows at generation ``gen`` (strictly increasing per mutation,
+    carried in the commit manifest so a torn commit can roll forward
+    idempotently).  ``rep_id`` must be null on relabel rows (founding
+    group nodes are first-appearance-immutable)."""
+    (delta.select("image_id", "cluster_id", "is_rep", "rep_id")
      .withColumn("gen", F.lit(gen))
      .withColumn("ib", _kb("image_id", cfg.key_buckets))
      .repartition(cfg.key_buckets, F.col("ib"))
      .sortWithinPartitions("image_id")
      .write.mode("overwrite").partitionBy("ib")
      .parquet(f"{staging_dir}/{ID_INDEX}"))
+
+
+def write_edge_index(edges: DataFrame, path: str,
+                     cfg: PipelineConfig) -> None:
+    """Full build: the dedup graph's edge list keyed by FOUNDING group
+    nodes — (a, b) with a < b, hive-partitioned on
+    ``eb = xxhash64(a) % key_buckets`` and sorted by ``a`` within files.
+    At build time every verified-edge endpoint is its own group's
+    founding rep, so the checkpoint edges pass through untranslated.
+
+    This sidecar exists for :func:`~gsearch_spark.operators.remove.\
+remove_images`: a delete that kills an entire exact-group can SPLIT a
+    cluster, and recomputing the affected components needs the edges
+    among the affected clusters' group nodes — with this layout that
+    read partition-prunes to the affected nodes' buckets (every
+    intra-cluster edge has BOTH endpoints in the affected set, so
+    pruning on ``a`` alone is lossless).  The reports/oracle surface
+    keeps reading the flat ``verified_edges`` checkpoint; this is a
+    connectivity-only (a, b) projection."""
+    (edges.select("a", "b")
+     .withColumn("eb", _kb("a", cfg.key_buckets))
+     .repartition(cfg.key_buckets, F.col("eb"))
+     .sortWithinPartitions("a")
+     .write.mode("overwrite").partitionBy("eb").parquet(path))
+
+
+def stage_edge_append(edges: DataFrame, staging_dir: str,
+                      cfg: PipelineConfig) -> None:
+    """Stage a mutation's new dedup-graph edges (already translated to
+    founding-node endpoints, self-loops dropped) as a partitioned
+    delta; committed by the same manifest machinery as the other
+    partitioned appends."""
+    (edges.select("a", "b")
+     .withColumn("eb", _kb("a", cfg.key_buckets))
+     .repartition(cfg.key_buckets, F.col("eb"))
+     .sortWithinPartitions("a")
+     .write.mode("overwrite").partitionBy("eb")
+     .parquet(f"{staging_dir}/{EDGE_INDEX}"))
+
+
+def lookup_edges_among(spark: SparkSession, path: str, nodes: DataFrame,
+                       cfg: PipelineConfig,
+                       idx_df: "DataFrame | None" = None) -> DataFrame:
+    """(a, b) edges with BOTH endpoints in ``nodes`` (a single-column
+    DataFrame named ``a`` of founding group ids).  Partition-prunes on
+    the nodes' bucket set via the shared point-lookup plan, then keeps
+    only edges whose far endpoint is also in the set (broadcast semi on
+    the same already-small node list)."""
+    if idx_df is None:
+        idx_df = read_edge_index(spark, path)  # inference-safe when empty
+    hits = _pruned(spark, path, "eb", "a", nodes, cfg, idx_df=idx_df)
+    far = nodes.select(F.col("a").alias("b")).distinct()
+    return (hits.join(F.broadcast(far), "b", "left_semi")
+            .select("a", "b"))
 
 
 # --------------------------------------------------------------- lookups
@@ -184,15 +256,53 @@ def lookup_ck_index(spark: SparkSession, path: str, cks: DataFrame,
 def lookup_id_index(spark: SparkSession, path: str, ids: DataFrame,
                     cfg: PipelineConfig,
                     idx_df: "DataFrame | None" = None) -> DataFrame:
-    """(image_id, cluster_id, is_rep) — latest generation wins — for
-    exactly the probed ids present in the build."""
+    """(image_id, cluster_id, is_rep, rep_id) — latest generation wins
+    (rep_id: the single non-null first-appearance value, via null-
+    skipping max) — for exactly the probed ids present in the build."""
     return (_pruned(spark, path, "ib", "image_id", ids, cfg, idx_df=idx_df)
             .groupBy("image_id")
             .agg(F.max_by("cluster_id", "gen").alias("cluster_id"),
-                 F.bool_or("is_rep").alias("is_rep")))
+                 F.bool_or("is_rep").alias("is_rep"),
+                 F.max("rep_id").alias("rep_id")))
 
 
 # ----------------------------------------------------------- maintenance
+
+def recover_id_index_compaction(fs, path: str) -> bool:
+    """Roll a torn :func:`compact_id_index` swap forward (or discard its
+    pre-commit staging).  The swap protocol is: write ``path__compact``
+    fully, rename live ``path`` -> ``path__old``, rename
+    ``path__compact`` -> ``path``, delete ``path__old`` — so every crash
+    window is distinguishable from the directories alone:
+
+    * live ``path`` present: anything left over is pre-swap staging or
+      a post-swap old copy — both droppable garbage;
+    * ``path`` missing, staged ``path__compact`` present: crashed
+      between the two renames — finish the swap;
+    * ``path`` missing, only ``path__old`` present (staging lost, which
+      the protocol cannot itself produce): restore the old copy.
+
+    Idempotent, callable any time under the writer lock.  Returns True
+    iff anything was repaired/cleaned.  Called automatically at the
+    start of every ``incremental_add`` and ``compact_id_index``."""
+    old, tmp = f"{path}__old", f"{path}__compact"
+    if fs.exists(path):
+        dropped_tmp = fs.delete(tmp)
+        dropped_old = fs.delete(old)
+        return bool(dropped_tmp or dropped_old)
+    if fs.exists(tmp):
+        if not fs.rename(tmp, path):
+            raise IOError(f"compaction roll-forward rename failed: "
+                          f"{tmp} -> {path}")
+        fs.delete(old)
+        return True
+    if fs.exists(old):
+        if not fs.rename(old, path):
+            raise IOError(f"compaction roll-back rename failed: "
+                          f"{old} -> {path}")
+        return True
+    return False
+
 
 def compact_id_index(spark: SparkSession, path: str,
                      cfg: PipelineConfig) -> None:
@@ -203,22 +313,30 @@ def compact_id_index(spark: SparkSession, path: str,
 
     Takes the build's single-writer mutation lock (re-entrant): a
     compaction racing an add could drop the add's freshly appended
-    generation rows."""
+    generation rows.  The swap is crash-safe: the compacted table is
+    fully staged, then swapped in via two renames (never a delete of
+    the live table before its replacement is in place);
+    :func:`recover_id_index_compaction` rolls any torn window forward."""
     from gsearch_spark.operators.pipeline import add_writer_lock
+    from gsearch_spark.fs import CheckpointFS
     ckpt_dir = path.rsplit("/", 1)[0]
     with add_writer_lock(spark, ckpt_dir):
+        fs = CheckpointFS(spark, path)
+        recover_id_index_compaction(fs, path)  # clear any prior torn swap
         compacted = (spark.read.parquet(path)
                      .groupBy("image_id")
                      .agg(F.max_by("cluster_id", "gen").alias("cluster_id"),
                           F.bool_or("is_rep").alias("is_rep"),
+                          F.max("rep_id").alias("rep_id"),
                           F.max("gen").alias("gen"))
                      .withColumn("ib", _kb("image_id", cfg.key_buckets))
                      .repartition(cfg.key_buckets, F.col("ib"))
                      .sortWithinPartitions("image_id"))
-        tmp = f"{path}__compact"
+        tmp, old = f"{path}__compact", f"{path}__old"
         compacted.write.mode("overwrite").partitionBy("ib").parquet(tmp)
-        from gsearch_spark.fs import CheckpointFS
-        fs = CheckpointFS(spark, path)
-        fs.delete(path)
-        fs.rename(tmp, path)
+        if not fs.rename(path, old):
+            raise IOError(f"compaction swap rename failed: {path} -> {old}")
+        if not fs.rename(tmp, path):
+            raise IOError(f"compaction swap rename failed: {tmp} -> {path}")
+        fs.delete(old)
         spark.catalog.refreshByPath(path)

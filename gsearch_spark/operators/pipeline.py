@@ -336,6 +336,7 @@ class NearDupPipeline:
         #    columns (reference: add addresses its persisted index by
         #    rank, never rescans it — src/dna/dnasketch.rs:106-134) -----
         from gsearch_spark.operators.keyidx import (write_ck_index,
+                                                    write_edge_index,
                                                     write_id_index)
         t0 = time.time()
         if resume and self._done("ck_index"):
@@ -354,6 +355,15 @@ class NearDupPipeline:
                            self.cfg)
             id_idx = self.spark.read.parquet(self._path("id_index"))
             self._record("id_index", id_idx, t0, skipped=False)
+        from gsearch_spark.operators.keyidx import read_edge_index
+        t0 = time.time()
+        if resume and self._done("edge_index"):
+            eg_idx = read_edge_index(self.spark, self._path("edge_index"))
+            self._record("edge_index", eg_idx, t0, skipped=True)
+        else:
+            write_edge_index(edges, self._path("edge_index"), self.cfg)
+            eg_idx = read_edge_index(self.spark, self._path("edge_index"))
+            self._record("edge_index", eg_idx, t0, skipped=False)
         gen_path = os.path.join(self.dir, ID_GEN_FILE)
         if not self.fs.exists(gen_path):
             self.fs.write_text(gen_path, "0")
@@ -472,6 +482,7 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
     from gsearch_spark.operators.keyidx import (lookup_ck_index,
                                                 lookup_id_index,
                                                 stage_ck_append,
+                                                stage_edge_append,
                                                 stage_id_append)
     from gsearch_spark.operators.suffix import suffix_candidate_pairs
     from gsearch_spark.operators.verify import (attach_payloads,
@@ -479,6 +490,10 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
 
     cfg.assert_matches_via(pipe.fs, checkpoint_dir)
     recover_add_commit(spark, checkpoint_dir)  # finish any torn commit
+    # a torn offline id_index compaction (crash between its two swap
+    # renames) rolls forward here too, before the layout checks below
+    from gsearch_spark.operators.keyidx import recover_id_index_compaction
+    recover_id_index_compaction(pipe.fs, pipe._path("id_index"))
 
     old_groups = spark.read.parquet(pipe._path("exact_groups"))
     if "ck" not in old_groups.columns:
@@ -494,10 +509,11 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
     ck_path = pipe._path("ck_index")
     id_path = pipe._path("id_index")
     if not (pipe.fs.exists(f"{ck_path}/_SUCCESS")
-            and pipe.fs.exists(f"{id_path}/_SUCCESS")):
+            and pipe.fs.exists(f"{id_path}/_SUCCESS")
+            and pipe.fs.exists(f"{pipe._path('edge_index')}/_SUCCESS")):
         raise ValueError(
             "checkpoint predates key-addressed lookup layouts (no "
-            "ck_index/id_index); rebuild with tohnsw first")
+            "ck_index/id_index/edge_index); rebuild with tohnsw first")
     # one file-index listing per lookup table for the whole add (the
     # tables don't change until this add's own commit)
     ck_idx_df = spark.read.parquet(ck_path)
@@ -675,11 +691,13 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
     # endpoint labels via the id-keyed layout: pruned point lookup,
     # O(new edges + matched reps) rows read — the stored clusters table
     # is no longer scanned for this (only its pbucket-pruned affected
-    # partitions are read below)
-    labels = (lookup_id_index(spark, id_path, endpoint_ids, cfg,
-                              idx_df=id_idx_df)
-              .select("image_id", F.col("cluster_id").alias("label"))
-              .localCheckpoint())  # small: O(new edges + matched reps)
+    # partitions are read below).  The same lookup also resolves each
+    # old endpoint's FOUNDING group node (rep_id) for the edge_index
+    # delta below.
+    ep_info = (lookup_id_index(spark, id_path, endpoint_ids, cfg,
+                               idx_df=id_idx_df)
+               .localCheckpoint())  # small: O(new edges + matched reps)
+    labels = ep_info.select("image_id", F.col("cluster_id").alias("label"))
     pipe._record("add_lookup_labels", labels, t0, skipped=False)
     t0 = time.time()
     lab_a = labels.select(F.col("image_id").alias("a"),
@@ -744,7 +762,8 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
     relab_old = (aff_members.join(F.broadcast(Rm), "cluster_id", "left")
                  .select("image_id",
                          F.coalesce("root", "cluster_id").alias("root"),
-                         F.lit(False).alias("is_rep")))
+                         F.lit(False).alias("is_rep"),
+                         F.lit(None).cast("string").alias("rep_id")))
     # every NEW member routes through its rep's label to the merged root
     rep_lab = (new_groups.select("image_id", "rep_id",
                                  (F.col("image_id") == F.col("rep_id"))
@@ -754,18 +773,19 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
                      "rep_id", "left")
                .select("image_id",
                        F.coalesce("label", F.col("rep_id"))
-                       .alias("cluster_id"), "is_rep"))
+                       .alias("cluster_id"), "is_rep", "rep_id"))
     relab_new = (rep_lab.join(F.broadcast(Rm), "cluster_id", "left")
                  .select("image_id",
                          F.coalesce("root", "cluster_id").alias("root"),
-                         "is_rep"))
+                         "is_rep", "rep_id"))
     # min-member normalization over the affected slice only (the rest of
     # the corpus already satisfies cluster_id == min member by induction)
     members = relab_old.unionByName(relab_new)
     norm = members.groupBy("root").agg(F.min("image_id")
                                        .alias("cluster_id"))
     delta = (members.join(F.broadcast(norm), "root")
-             .select("image_id", "cluster_id", "is_rep").localCheckpoint())
+             .select("image_id", "cluster_id", "is_rep", "rep_id")
+             .localCheckpoint())
     pipe._record("add_clusters", delta, t0, skipped=False)
 
     # -- stage the rewritten clusters partitions (touched buckets only) --
@@ -802,6 +822,24 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
     new_gen = (int(pipe.fs.read_text(gen_file))
                if pipe.fs.exists(gen_file) else 0) + 1
     stage_id_append(delta, new_gen, staging, cfg)
+    # dedup-graph edge delta for the remove path's split recomputation:
+    # endpoints translated to their FOUNDING group nodes (old endpoints
+    # via the ep_info point lookup, new reps are their own founding
+    # node), canonical a < b, intra-group self-loops dropped
+    ef_a = ep_info.select(F.col("image_id").alias("a"),
+                          F.col("rep_id").alias("fa"))
+    ef_b = ep_info.select(F.col("image_id").alias("b"),
+                          F.col("rep_id").alias("fb"))
+    fedges = (new_edges.select("a", "b")
+              .join(F.broadcast(ef_a), "a", "left")
+              .join(F.broadcast(ef_b), "b", "left")
+              .select(F.coalesce("fa", F.col("a")).alias("na"),
+                      F.coalesce("fb", F.col("b")).alias("nb"))
+              .filter(F.col("na") != F.col("nb"))
+              .select(F.least("na", "nb").alias("a"),
+                      F.greatest("na", "nb").alias("b"))
+              .distinct())
+    stage_edge_append(fedges, staging, cfg)
     pipe._record("add_index_delta",
                  spark.read.parquet(f"{staging}/id_index"), t0,
                  skipped=False)
@@ -810,7 +848,8 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
     manifest = {"version": 2, "staging": staging,
                 "append_stages": ["exact_groups", "signatures", "bands",
                                   "candidate_pairs", "verified_edges"],
-                "partitioned_appends": ["ck_index", "id_index"],
+                "partitioned_appends": ["ck_index", "id_index",
+                                        "edge_index"],
                 "id_index_gen": new_gen,
                 "clusters_swap": swap}
     mpath = os.path.join(checkpoint_dir, ADD_MANIFEST)
@@ -823,7 +862,8 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
     # file-status cache — refresh before re-listing (the documented
     # plan-cache-over-rewritten-path pitfall, FS-metadata edition)
     for name in ("exact_groups", "signatures", "bands", "candidate_pairs",
-                 "verified_edges", "clusters", "ck_index", "id_index"):
+                 "verified_edges", "clusters", "ck_index", "id_index",
+                 "edge_index"):
         spark.catalog.refreshByPath(pipe._path(name))
     return (spark.read.parquet(pipe._path("clusters"))
             .select("image_id", "cluster_id"))

@@ -217,3 +217,89 @@ def test_add_after_compaction_matches_rebuild(spark, small_fixture_dir):
             NearDupPipeline(spark, CFG, full).run(images,
                                                   resume=False).collect()}
     assert got == want
+
+
+def test_compaction_crash_windows_recover(spark, monkeypatch):
+    """The compaction swap must never lose the live id_index: crash it
+    at EACH of its two rename calls (live -> __old, then staged ->
+    live), roll forward with recover_id_index_compaction, and require
+    the resolved per-id state to match the pre-crash ground truth with
+    no leftover swap directories.  Also: pre-commit staging garbage
+    beside an intact live table is dropped, and a torn window heals
+    implicitly when the next compact_id_index runs."""
+    from gsearch_spark.fs import CheckpointFS
+    from gsearch_spark.operators.keyidx import recover_id_index_compaction
+
+    base = "/tmp/gsearch_spark_keyidx_crash"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    clusters = spark.createDataFrame(
+        [(f"i{k:03d}", f"i{k % 7:03d}") for k in range(40)],
+        "image_id string, cluster_id string")
+    groups = spark.createDataFrame(
+        [(f"i{k:03d}", f"i{k:03d}") for k in range(40)],
+        "image_id string, rep_id string")
+    path = f"{base}/id_index"
+    write_id_index(clusters, groups, path, CFG)
+
+    def state():
+        spark.catalog.refreshByPath(path)
+        return {r["image_id"]: (r["cluster_id"], r["is_rep"])
+                for r in (spark.read.parquet(path)
+                          .groupBy("image_id")
+                          .agg(F.max_by("cluster_id", "gen")
+                               .alias("cluster_id"),
+                               F.bool_or("is_rep").alias("is_rep"))
+                          .collect())}
+
+    truth = state()
+    real_rename = CheckpointFS.rename
+
+    for crash_on_call in (1, 2):
+        calls = {"n": 0}
+
+        def exploding(self, src, dst):
+            calls["n"] += 1
+            if calls["n"] == crash_on_call:
+                raise RuntimeError("injected crash mid-swap")
+            return real_rename(self, src, dst)
+
+        monkeypatch.setattr(CheckpointFS, "rename", exploding)
+        try:
+            with pytest.raises(RuntimeError, match="injected crash"):
+                compact_id_index(spark, path, CFG)
+        finally:
+            monkeypatch.setattr(CheckpointFS, "rename", real_rename)
+        fs = CheckpointFS(spark, path)
+        assert recover_id_index_compaction(fs, path) is True
+        assert state() == truth
+        assert not fs.exists(f"{path}__old")
+        assert not fs.exists(f"{path}__compact")
+
+    # pre-commit garbage: a stale staged dir beside an intact live table
+    shutil.copytree(path, f"{path}__compact")
+    fs = CheckpointFS(spark, path)
+    assert recover_id_index_compaction(fs, path) is True
+    assert not fs.exists(f"{path}__compact")
+    assert state() == truth
+
+    # a torn first-rename window heals implicitly on the next compaction
+    calls = {"n": 0}
+
+    def exploding1(self, src, dst):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash mid-swap")
+        return real_rename(self, src, dst)
+
+    monkeypatch.setattr(CheckpointFS, "rename", exploding1)
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            compact_id_index(spark, path, CFG)
+    finally:
+        monkeypatch.setattr(CheckpointFS, "rename", real_rename)
+    compact_id_index(spark, path, CFG)  # self-recovers, then compacts
+    assert state() == truth
+    assert not os.path.exists(f"{path}__old")
+    assert not os.path.exists(f"{path}__compact")
+    shutil.rmtree(base, ignore_errors=True)

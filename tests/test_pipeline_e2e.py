@@ -108,7 +108,7 @@ def test_pipeline_state_lineage(clusters_df, spark):
     got = {r["stage"] for r in state.select("stage").distinct().collect()}
     assert got == {"exact_groups", "signatures", "bands",
                    "candidate_pairs", "verified_edges", "clusters",
-                   "ck_index", "id_index"}
+                   "ck_index", "id_index", "edge_index"}
     hashes = {r["config_hash"]
               for r in state.select("config_hash").distinct().collect()}
     assert hashes == {CFG.config_hash()}
