@@ -154,6 +154,36 @@ def _cmd_add_locked(args, spark, fs, cfg, manifest, new_images) -> int:
     return 0
 
 
+def cmd_remove(args) -> int:
+    """Takedown / right-to-be-forgotten: remove image ids from a build.
+    Ids come from ``--ids a,b,c`` or ``--ids-file`` (one id per line or
+    a parquet with an image_id column).  Clusters are recomputed for
+    the affected partitions only; corpus-sized stages stay merge-on-read
+    (run ``compact`` to purge physically)."""
+    from gsearch_spark.config import PipelineConfig
+    from gsearch_spark.fs import CheckpointFS
+    from gsearch_spark.operators.remove import remove_images
+    spark = _spark(args.cores)
+    cfg = PipelineConfig.reload_via(CheckpointFS(spark, args.build_dir),
+                                    args.build_dir)
+    if args.ids:
+        ids = [(s,) for s in args.ids.split(",") if s]
+        rm = spark.createDataFrame(ids, "image_id string")
+    elif args.ids_file and args.ids_file.endswith(".parquet"):
+        rm = spark.read.parquet(args.ids_file).select("image_id")
+    elif args.ids_file:
+        with open(args.ids_file) as f:
+            ids = [(line.strip(),) for line in f if line.strip()]
+        rm = spark.createDataFrame(ids, "image_id string")
+    else:
+        raise SystemExit("remove: pass --ids or --ids-file")
+    n = rm.count()
+    clusters = remove_images(spark, cfg, args.build_dir, rm)
+    print(f"remove: {n} images removed; "
+          f"{clusters.count()} assignments remain")
+    return 0
+
+
 def cmd_compact(args) -> int:
     """Offline id_index maintenance: rewrite the LSM generations down to
     one latest row per image (the Iceberg rewrite-data-files analog).
@@ -329,6 +359,14 @@ def main(argv: "list[str] | None" = None) -> int:
     p.add_argument("-n", "--newdir", required=True,
                    help="new images parquet path")
     p.set_defaults(fn=cmd_add)
+
+    p = sub.add_parser("remove", help="remove images from a build "
+                       "(takedown / right-to-be-forgotten)")
+    p.add_argument("-b", "--build-dir", required=True)
+    p.add_argument("--ids", help="comma-separated image ids")
+    p.add_argument("--ids-file", help="text file (one id per line) or "
+                   "parquet with an image_id column")
+    p.set_defaults(fn=cmd_remove)
 
     p = sub.add_parser("compact", help="rewrite id_index to one latest "
                                        "row per image (offline maintenance)")

@@ -518,6 +518,18 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
     # tables don't change until this add's own commit)
     ck_idx_df = spark.read.parquet(ck_path)
     id_idx_df = spark.read.parquet(id_path)
+    # merge-on-read removal sidecars (operators/remove.py).  Gated on
+    # the tombstones table's existence so a build that never saw a
+    # remove keeps its exact pre-remove plans (no extra joins).
+    from gsearch_spark.operators.remove import (count_tombstones,
+                                                has_removals,
+                                                read_dead_groups,
+                                                read_rep_remap)
+    removals = has_removals(spark, checkpoint_dir)
+    dead_df = (read_dead_groups(spark, checkpoint_dir)
+               .select("rep_id").localCheckpoint()) if removals else None
+    remap_df = (read_rep_remap(spark, checkpoint_dir)
+                .localCheckpoint()) if removals else None
 
     # cut the new slice's lineage once: it is consumed by ~8 downstream
     # plans (counts, keys, sketch set, probes) and re-running a source
@@ -526,8 +538,12 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
     new_images = new_images.localCheckpoint()
     n_new = new_images.count()
     n_old = old_groups.count()
-    if all_images.count() != n_old + n_new:
-        raise ValueError("all_images must be exactly old ∪ new")
+    # exact_groups is merge-on-read historical state: removed rows stay
+    # until compaction, so the live-corpus count subtracts tombstones
+    n_dead = count_tombstones(spark, checkpoint_dir) if removals else 0
+    if all_images.count() != n_old - n_dead + n_new:
+        raise ValueError("all_images must be exactly old ∪ new "
+                         "(minus removed rows)")
     # id-clash refusal via the id-keyed layout: O(new) pruned point
     # lookup, not a corpus scan of stored image_ids
     t0 = time.time()
@@ -555,8 +571,14 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
     nk = content_keys(new_images).localCheckpoint()
     t0 = time.time()
     old_keys = lookup_ck_index(spark, ck_path, nk.select("ck"), cfg,
-                               idx_df=ck_idx_df) \
-        .localCheckpoint()  # O(new) rows
+                               idx_df=ck_idx_df)
+    if removals:
+        # a fully-removed exact-group's ck row lingers until compaction;
+        # re-added identical content must read as FRESH, not resurrect
+        # the dead group node
+        old_keys = old_keys.join(F.broadcast(dead_df), "rep_id",
+                                 "left_anti")
+    old_keys = old_keys.localCheckpoint()  # O(new) rows
     pipe._record("add_lookup_ck", old_keys, t0, skipped=False)
     matched = (nk.join(F.broadcast(old_keys), "ck")
                .select("image_id", "rep_id", "ck"))
@@ -595,7 +617,35 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
     # pitfall.
     nn_pairs = emit_bucket_pairs(new_bands).localCheckpoint()
     no_pairs = probe_pairs_vs_stored(explode_all_bands(new_sigs, cfg),
-                                     old_bands).localCheckpoint()
+                                     old_bands)
+    if removals:
+        # stored bands stay keyed by founding group nodes until
+        # compaction: pairs against a DEAD group's node are content
+        # that no longer exists (drop), and pairs against a tombstoned
+        # founding whose group survives re-point at the promoted
+        # surviving member so the verify stage attaches live payloads.
+        # The stored endpoint can sit in EITHER column (pairs are
+        # least/greatest-canonicalized), so both sides are treated and
+        # the pair re-canonicalized.
+        rm_a = remap_df.select(F.col("old_rep").alias("a"),
+                               F.col("new_rep").alias("na"))
+        rm_b = remap_df.select(F.col("old_rep").alias("b"),
+                               F.col("new_rep").alias("nb"))
+        no_pairs = (no_pairs
+                    .join(F.broadcast(dead_df.withColumnRenamed(
+                        "rep_id", "a")), "a", "left_anti")
+                    .join(F.broadcast(dead_df.withColumnRenamed(
+                        "rep_id", "b")), "b", "left_anti")
+                    .join(F.broadcast(rm_a), "a", "left")
+                    .join(F.broadcast(rm_b), "b", "left")
+                    .select(F.coalesce("na", F.col("a")).alias("pa"),
+                            F.coalesce("nb", F.col("b")).alias("pb"),
+                            "src")
+                    .filter(F.col("pa") != F.col("pb"))
+                    .select(F.least("pa", "pb").alias("a"),
+                            F.greatest("pa", "pb").alias("b"), "src")
+                    .groupBy("a", "b").agg(F.min("src").alias("src")))
+    no_pairs = no_pairs.localCheckpoint()
     # touched phash groups: when the touched set is small enough to ship
     # as literals, push it down as an isin() filter so parquet row-group
     # stats prune the payload scan (on a phash-sorted / z-ordered
@@ -614,11 +664,22 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
     # lookup (is_rep flag), not a corpus scan of the stored group keys;
     # new reps aren't in id_index yet and union in explicitly
     t0 = time.time()
-    old_touched_reps = (lookup_id_index(spark, id_path,
-                                        touched_imgs.select("image_id"),
-                                        cfg, idx_df=id_idx_df)
-                        .filter(F.col("is_rep"))
-                        .select("image_id").localCheckpoint())
+    touched_lk = lookup_id_index(spark, id_path,
+                                 touched_imgs.select("image_id"),
+                                 cfg, idx_df=id_idx_df)
+    old_touched_reps = touched_lk.filter(F.col("is_rep")) \
+        .select("image_id")
+    if removals:
+        # a group whose founding rep was removed has NO live is_rep row;
+        # its promoted surviving member (rep_remap target) stands in as
+        # the group's suffix-pass node so the group isn't skipped
+        promoted = touched_lk.join(
+            F.broadcast(remap_df.select(F.col("new_rep")
+                                        .alias("image_id"))),
+            "image_id", "left_semi").select("image_id")
+        old_touched_reps = old_touched_reps.unionByName(promoted) \
+            .distinct()
+    old_touched_reps = old_touched_reps.localCheckpoint()
     pipe._record("add_lookup_touched_reps", old_touched_reps, t0,
                  skipped=False)
     # eager cut before the suffix pass: at bulk append sizes the
@@ -682,11 +743,25 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
                                             .alias("rep_id")),
                           "rep_id", "left_anti")
                     .select("rep_id").distinct())  # old reps gaining members
+    # a matched group's founding rep may be tombstoned (group alive):
+    # its own id_index label is a stale null-or-old row, so the LABEL is
+    # read through the promoted surviving member instead (lrep), while
+    # group identity stays the founding node
+    if removals:
+        mr_map = (matched_reps
+                  .join(F.broadcast(remap_df.withColumnRenamed(
+                      "old_rep", "rep_id")), "rep_id", "left")
+                  .select("rep_id",
+                          F.coalesce("new_rep", "rep_id").alias("lrep"))
+                  .localCheckpoint())
+    else:
+        mr_map = matched_reps.select("rep_id",
+                                     F.col("rep_id").alias("lrep"))
     endpoint_ids = (new_edges.select(F.col("a").alias("image_id"))
                     .unionByName(new_edges.select(F.col("b")
                                                   .alias("image_id")))
-                    .unionByName(matched_reps.select(F.col("rep_id")
-                                                     .alias("image_id")))
+                    .unionByName(mr_map.select(F.col("lrep")
+                                               .alias("image_id")))
                     .distinct())
     # endpoint labels via the id-keyed layout: pruned point lookup,
     # O(new edges + matched reps) rows read — the stored clusters table
@@ -697,7 +772,17 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
     ep_info = (lookup_id_index(spark, id_path, endpoint_ids, cfg,
                                idx_df=id_idx_df)
                .localCheckpoint())  # small: O(new edges + matched reps)
-    labels = ep_info.select("image_id", F.col("cluster_id").alias("label"))
+    labels_live = ep_info.select("image_id",
+                                 F.col("cluster_id").alias("label"))
+    if removals:
+        # founding reps resolve their label via their promoted member
+        labels = (labels_live.unionByName(
+            mr_map.join(labels_live.withColumnRenamed("image_id",
+                                                      "lrep"), "lrep")
+            .select(F.col("rep_id").alias("image_id"), "label"))
+            .distinct())
+    else:
+        labels = labels_live
     pipe._record("add_lookup_labels", labels, t0, skipped=False)
     t0 = time.time()
     lab_a = labels.select(F.col("image_id").alias("a"),

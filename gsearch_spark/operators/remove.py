@@ -1,0 +1,318 @@
+"""Takedown / GDPR-delete path: remove images from a stored build.
+
+The reference's index is insert-only (``add`` appends to the persisted
+HNSW, src/bin/gsearch.rs:488-505; there is no delete), but a web-scale
+training-data pipeline cannot be: copyright takedowns and
+right-to-be-forgotten requests arrive daily and must leave the CLUSTER
+ASSIGNMENTS — this engine's product — exactly as if the removed images
+had never been ingested.  This module adds that operation Spark-first,
+as the mirror image of the append path:
+
+* **merge-on-read, not rewrite** (the Iceberg delete-file analog):
+  corpus-sized stages (signatures, bands, exact_groups, ck_index, the
+  verified_edges checkpoint) are NOT rewritten per remove.  Three small
+  sidecars carry the delete state instead —
+
+  ``tombstones``  (image_id, gen), hive-partitioned on
+      ``tb = xxhash64(image_id) % key_buckets``: every removed image.
+  ``dead_groups``  (rep_id, gen), flat: founding group nodes whose
+      exact-content group lost its LAST member; the add path's
+      ck-membership probe and request's candidate probe veto these so
+      fully-removed content reads as fresh / gone.
+  ``rep_remap``  (old_rep, new_rep, gen), flat, latest ``gen`` wins:
+      founding reps that are themselves tombstoned while their group
+      survives, mapped to the group's minimum surviving member.  The
+      stored signatures/bands stay keyed by the founding node (the
+      surviving member is byte-and-caption identical, so they remain
+      VALID); consumers translate at the edges — request remaps its
+      answers, the add path remaps probe pairs — and
+      :func:`purge_removed`-style compaction re-keys physically.
+
+* **only clusters are eagerly correct**: the affected clusters are
+  recomputed and their pbucket partitions rewritten under partition
+  pruning (same Iceberg partition-MERGE analog as the append path).
+  Removing a non-rep member can at most rename a cluster label (min
+  surviving member); removing a founding rep whose group survives
+  changes NOTHING about connectivity (survivors are content-identical,
+  every verified edge transfers); only a group's LAST member dying can
+  SPLIT a cluster — recomputed from the ``edge_index`` sidecar under
+  partition pruning, O(affected), never a corpus scan.
+
+* **same single-writer lock + manifest commit** as the append path:
+  every delta is staged, then committed via the identical
+  roll-forward-recoverable manifest protocol (``recover_add_commit``
+  completes a torn remove exactly as it completes a torn add).
+
+Parity contract (pinned by tests/test_remove.py): after any sequence of
+builds, adds and removes, the clusters table equals a from-scratch
+rebuild over the surviving images — including label renames and splits.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gsearch_spark.config import PipelineConfig
+
+TOMBSTONES = "tombstones"
+DEAD_GROUPS = "dead_groups"
+REP_REMAP = "rep_remap"
+
+TOMBSTONE_SCHEMA = "image_id string, gen int, tb int"
+DEAD_SCHEMA = "rep_id string, gen int"
+REMAP_SCHEMA = "old_rep string, new_rep string, gen int"
+
+
+# ------------------------------------------------------- sidecar readers
+
+def _read_or_empty(spark: SparkSession, checkpoint_dir: str, name: str,
+                   schema: str) -> DataFrame:
+    """Explicit-schema read; a build with no removes yet has no sidecar
+    — read as empty instead of failing (and instead of inferring, which
+    an all-empty partitioned table cannot support)."""
+    path = f"{checkpoint_dir}/{name}"
+    from gsearch_spark.fs import CheckpointFS
+    if not CheckpointFS(spark, path).exists(path):
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(path)
+
+
+def read_tombstones(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    return _read_or_empty(spark, checkpoint_dir, TOMBSTONES,
+                          TOMBSTONE_SCHEMA)
+
+
+def read_dead_groups(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    return _read_or_empty(spark, checkpoint_dir, DEAD_GROUPS, DEAD_SCHEMA)
+
+
+def read_rep_remap(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    """(old_rep, new_rep): the RESOLVED remap — latest generation wins
+    per founding rep (a promoted survivor removed by a later batch gets
+    a fresh row at a higher gen)."""
+    raw = _read_or_empty(spark, checkpoint_dir, REP_REMAP, REMAP_SCHEMA)
+    return (raw.groupBy("old_rep")
+            .agg(F.max_by("new_rep", "gen").alias("new_rep")))
+
+
+def count_tombstones(spark: SparkSession, checkpoint_dir: str) -> int:
+    return read_tombstones(spark, checkpoint_dir).count()
+
+
+def has_removals(spark: SparkSession, checkpoint_dir: str) -> bool:
+    """Cheap gate so the zero-removal fast paths keep their exact
+    pre-remove plans (no extra joins when the sidecars don't exist)."""
+    from gsearch_spark.fs import CheckpointFS
+    path = f"{checkpoint_dir}/{TOMBSTONES}"
+    return CheckpointFS(spark, path).exists(path)
+
+
+# --------------------------------------------------------------- removal
+
+def remove_images(spark: SparkSession, cfg: PipelineConfig,
+                  checkpoint_dir: str, remove_ids: DataFrame) -> DataFrame:
+    """Remove the given image_ids from the build (single-column
+    DataFrame ``image_id``).  Refuses unknown and already-removed ids.
+    Returns the post-remove clusters table.  Holds the build's
+    single-writer mutation lock; commit is manifest-protected and
+    crash-roll-forward-recoverable (shared with the append path)."""
+    from gsearch_spark.operators.pipeline import (NearDupPipeline,
+                                                  acquire_add_lock,
+                                                  release_add_lock)
+    pipe = NearDupPipeline(spark, cfg, checkpoint_dir)
+    lock_owner = acquire_add_lock(pipe.fs, checkpoint_dir)
+    try:
+        return _remove_locked(spark, cfg, checkpoint_dir, remove_ids, pipe)
+    finally:
+        if lock_owner:
+            release_add_lock(pipe.fs, checkpoint_dir)
+
+
+def _remove_locked(spark: SparkSession, cfg: PipelineConfig,
+                   checkpoint_dir: str, remove_ids: DataFrame,
+                   pipe) -> DataFrame:
+    from gsearch_spark.operators.cc import connected_components, union_find
+    from gsearch_spark.operators.keyidx import (lookup_edges_among,
+                                                lookup_id_index,
+                                                recover_id_index_compaction,
+                                                stage_id_append)
+    from gsearch_spark.operators.pipeline import (ADD_MANIFEST, ID_GEN_FILE,
+                                                  _apply_add_commit,
+                                                  recover_add_commit)
+
+    cfg.assert_matches_via(pipe.fs, checkpoint_dir)
+    recover_add_commit(spark, checkpoint_dir)
+    recover_id_index_compaction(pipe.fs, pipe._path("id_index"))
+    id_path = pipe._path("id_index")
+    edge_path = pipe._path("edge_index")
+    if not (pipe.fs.exists(f"{id_path}/_SUCCESS")
+            and pipe.fs.exists(f"{edge_path}/_SUCCESS")):
+        raise ValueError(
+            "checkpoint predates key-addressed lookup layouts (no "
+            "id_index/edge_index); rebuild with tohnsw first")
+    id_idx_df = spark.read.parquet(id_path)
+    clusters_stored = spark.read.parquet(pipe._path("clusters"))
+
+    rm = remove_ids.select("image_id").distinct().localCheckpoint()
+    n_rm = rm.count()
+    if n_rm == 0:
+        return clusters_stored.select("image_id", "cluster_id")
+
+    # -- resolve + refuse: every id must exist and not be removed already
+    t0 = time.time()
+    info = lookup_id_index(spark, id_path, rm, cfg,
+                           idx_df=id_idx_df).localCheckpoint()
+    pipe._record("rm_lookup_ids", info, t0, skipped=False)
+    if pipe.records[-1].rows_out != n_rm:
+        missing = rm.join(info.select("image_id"), "image_id", "left_anti")
+        raise ValueError(
+            "remove_images: unknown image_ids (not in this build), e.g. "
+            f"{[r[0] for r in missing.limit(5).collect()]}")
+    already = rm.join(read_tombstones(spark, checkpoint_dir),
+                      "image_id", "left_semi")
+    if not already.isEmpty():
+        raise ValueError(
+            "remove_images: ids already removed, e.g. "
+            f"{[r[0] for r in already.limit(5).collect()]}")
+
+    # -- affected clusters: members read under pbucket pruning ----------
+    def _pb(col: str) -> "F.Column":
+        return F.pmod(F.xxhash64(col), F.lit(cfg.cluster_buckets)) \
+                .cast("int")
+
+    t0 = time.time()
+    aff = info.select("cluster_id").distinct().localCheckpoint()
+    aff_buckets = sorted(r[0] for r in
+                         aff.select(_pb("cluster_id").alias("pb"))
+                         .distinct().collect())
+    members = (clusters_stored
+               .filter(F.col("pbucket").isin(aff_buckets))
+               .join(F.broadcast(aff), "cluster_id")
+               .select("image_id", "cluster_id").localCheckpoint())
+    # founding group node of every affected member: pruned point lookup,
+    # O(affected members) — never a scan of exact_groups
+    minfo = (lookup_id_index(spark, id_path, members.select("image_id"),
+                             cfg, idx_df=id_idx_df)
+             .select("image_id", "rep_id"))
+    mem = members.join(minfo, "image_id").localCheckpoint()
+    pipe._record("rm_members", mem, t0, skipped=False)
+
+    surv = mem.join(rm, "image_id", "left_anti").localCheckpoint()
+    surv_groups = surv.select("rep_id").distinct()
+    gone_groups = (mem.join(rm, "image_id", "left_semi")
+                   .select("rep_id").distinct()
+                   .join(surv_groups, "rep_id", "left_anti")
+                   .localCheckpoint())
+    # remap refresh: every surviving group whose FOUNDING rep is not
+    # among the survivors points at its minimum surviving member (also
+    # re-points groups remapped by earlier batches whose target just
+    # died — the recompute is total over the affected slice)
+    founders_alive = (surv.filter(F.col("image_id") == F.col("rep_id"))
+                      .select("rep_id"))
+    remap_delta = (surv.groupBy("rep_id")
+                   .agg(F.min("image_id").alias("new_rep"))
+                   .join(founders_alive, "rep_id", "left_anti")
+                   .select(F.col("rep_id").alias("old_rep"), "new_rep"))
+
+    # -- connectivity: CC over surviving group nodes ---------------------
+    # (a dying group's edges vanish — only then can a cluster split; the
+    # edge read partition-prunes on the surviving nodes' buckets)
+    t0 = time.time()
+    nodes = surv_groups.select(F.col("rep_id").alias("a")).localCheckpoint()
+    edges = lookup_edges_among(spark, edge_path, nodes,
+                               cfg).localCheckpoint()
+    pipe._record("rm_cc_edges", edges, t0, skipped=False)
+    n_edges = pipe.records[-1].rows_out
+    if n_edges <= cfg.add_cc_local_max_edges:
+        mapping = union_find([(r["a"], r["b"]) for r in edges.collect()])
+        roots_df = spark.createDataFrame(
+            sorted(mapping.items()), schema="rep_id string, root string")
+    else:
+        roots_df = (connected_components(edges)
+                    .select(F.col("image_id").alias("rep_id"),
+                            F.col("cluster_id").alias("root"))
+                    .localCheckpoint())
+    t0 = time.time()
+    relab = (surv.select("image_id", "rep_id")
+             .join(F.broadcast(roots_df), "rep_id", "left")
+             .withColumn("root", F.coalesce("root", "rep_id")))
+    norm = relab.groupBy("root").agg(F.min("image_id").alias("cluster_id"))
+    delta = (relab.join(F.broadcast(norm), "root")
+             .select("image_id", "cluster_id").localCheckpoint())
+    pipe._record("rm_clusters", delta, t0, skipped=False)
+
+    # -- stage every delta, then the shared manifest commit --------------
+    staging = pipe._path("_add_staging")
+    pipe.fs.delete(staging)
+    t0 = time.time()
+    delta_buckets = {r[0] for r in
+                     delta.select(_pb("cluster_id").alias("pb"))
+                     .distinct().collect()}
+    touched = sorted(set(aff_buckets) | delta_buckets)
+    kept = (clusters_stored.filter(F.col("pbucket").isin(touched))
+            .join(F.broadcast(aff), "cluster_id", "left_anti")
+            .select("image_id", "cluster_id"))
+    (kept.unionByName(delta)
+     .withColumn("pbucket", _pb("cluster_id"))
+     .repartition(max(len(touched), 1), F.col("pbucket"))
+     .write.mode("overwrite").partitionBy("pbucket")
+     .parquet(f"{staging}/clusters"))
+    # explicit schema: a remove that kills every cluster in its touched
+    # buckets stages an EMPTY dir, which inference cannot read
+    staged_clusters = (spark.read
+                       .schema("image_id string, cluster_id string, "
+                               "pbucket int")
+                       .parquet(f"{staging}/clusters"))
+    pipe._record("rm_clusters_rewrite", staged_clusters, t0, skipped=False)
+    present = {r[0] for r in staged_clusters.select("pbucket")
+               .distinct().collect()}
+    swap = {str(p): bool(p in present) for p in touched}
+
+    gen_file = os.path.join(checkpoint_dir, ID_GEN_FILE)
+    new_gen = (int(pipe.fs.read_text(gen_file))
+               if pipe.fs.exists(gen_file) else 0) + 1
+    # id_index delta: survivors at their new label; removed ids at a
+    # NULL label (the dead marker — membership/tombstone-ness lives in
+    # the tombstones table, label resolution of a removed id is null)
+    null_s = F.lit(None).cast("string")
+    id_delta = (delta
+                .withColumn("is_rep", F.lit(False))
+                .withColumn("rep_id", null_s)
+                .unionByName(rm.select("image_id",
+                                       null_s.alias("cluster_id"),
+                                       F.lit(False).alias("is_rep"),
+                                       null_s.alias("rep_id"))))
+    stage_id_append(id_delta, new_gen, staging, cfg)
+    (rm.withColumn("gen", F.lit(new_gen))
+     .withColumn("tb", F.pmod(F.xxhash64("image_id"),
+                              F.lit(cfg.key_buckets)).cast("int"))
+     .repartition(1)
+     .write.mode("overwrite").partitionBy("tb")
+     .parquet(f"{staging}/{TOMBSTONES}"))
+    if not gone_groups.isEmpty():
+        (gone_groups.withColumn("gen", F.lit(new_gen)).repartition(1)
+         .write.mode("overwrite").parquet(f"{staging}/{DEAD_GROUPS}"))
+    if not remap_delta.isEmpty():
+        (remap_delta.withColumn("gen", F.lit(new_gen)).repartition(1)
+         .write.mode("overwrite").parquet(f"{staging}/{REP_REMAP}"))
+
+    manifest = {"version": 2, "staging": staging,
+                "append_stages": [DEAD_GROUPS, REP_REMAP],
+                "partitioned_appends": ["id_index", TOMBSTONES],
+                "id_index_gen": new_gen,
+                "clusters_swap": swap}
+    mpath = os.path.join(checkpoint_dir, ADD_MANIFEST)
+    pipe.fs.write_text(mpath, json.dumps(manifest))
+    _apply_add_commit(pipe.fs, checkpoint_dir, manifest)
+    pipe.fs.delete(mpath)
+    pipe.fs.delete(staging)
+    pipe._flush_state()
+    for name in ("clusters", "id_index", TOMBSTONES, DEAD_GROUPS,
+                 REP_REMAP):
+        spark.catalog.refreshByPath(pipe._path(name))
+    return (spark.read.parquet(pipe._path("clusters"))
+            .select("image_id", "cluster_id"))

@@ -199,5 +199,28 @@ def request(spark: SparkSession, checkpoint_dir: str,
     cands = probe_candidates(q_bands, stored_bands,
                              broadcast_probe=broadcast_probe,
                              max_bucket_probe=cap)
+    from gsearch_spark.operators.remove import (has_removals,
+                                                read_dead_groups,
+                                                read_rep_remap)
+    if has_removals(spark, checkpoint_dir):
+        # merge-on-read removals: stored bands/signatures stay keyed by
+        # founding group nodes until compaction.  Candidates against a
+        # DEAD group are gone content (drop before ranking); ranking
+        # runs on the founding node's signature (the surviving member
+        # is byte-and-caption identical), and the ANSWER id is then
+        # remapped to that live member so no tombstoned id escapes.
+        dead = read_dead_groups(spark, checkpoint_dir) \
+            .select(F.col("rep_id").alias("target_id"))
+        cands = cands.join(F.broadcast(dead), "target_id", "left_anti")
+        remap = read_rep_remap(spark, checkpoint_dir) \
+            .select(F.col("old_rep").alias("target_id"), "new_rep")
+        ranked = rank_answers(cands, q_sigs, stored_sigs, cfg, k,
+                              max_distance,
+                              broadcast_probe=broadcast_probe)
+        return (ranked.join(F.broadcast(remap), "target_id", "left")
+                .withColumn("target_id",
+                            F.coalesce("new_rep", "target_id"))
+                .drop("new_rep")
+                .select(*ranked.columns))
     return rank_answers(cands, q_sigs, stored_sigs, cfg, k, max_distance,
                         broadcast_probe=broadcast_probe)
