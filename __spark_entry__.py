@@ -152,6 +152,36 @@ def _q_images_lsh_pairs_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_images_lsh_pairs(spark, path)
 
 
+def _run_removed_pipeline(spark: SparkSession, sf_dir: str) -> str:
+    """Copy of the cached build with a deterministic ~1/13 takedown
+    batch applied through operators/remove.py (the GDPR-delete path).
+    Idempotent: the remove runs once per config hash; repeat calls read
+    the mutated copy."""
+    import shutil
+    from pyspark.sql import functions as F
+    from gsearch_spark.operators.remove import remove_images
+    base = _run_image_pipeline(spark, sf_dir)
+    ckpt = f"{base}_rm"
+    done = os.path.join(ckpt, "_REMOVE_DONE")
+    if not os.path.exists(done):
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.copytree(base, ckpt)
+        images = spark.read.parquet(
+            os.path.join(_images_fixture(sf_dir), "images.parquet"))
+        sel = F.conv(F.substring(F.md5("image_id"), 1, 15), 16, 10)
+        rm = images.select("image_id").filter(sel.cast("long") % 13 == 0)
+        remove_images(spark, _CFG, ckpt, rm)
+        with open(done, "w") as f:
+            f.write("1")
+    return ckpt
+
+
+def _q_images_remove_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ckpt = _run_removed_pipeline(spark, sf_dir)
+    return (spark.read.parquet(os.path.join(ckpt, "clusters"))
+            .select("image_id", "cluster_id"))
+
+
 def _q_images_clusters_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gsearch_spark.operators.imagedup_sql import q_images_clusters_sql
     path = os.path.join(_images_fixture(sf_dir), "images.parquet")
@@ -223,6 +253,18 @@ def _oracle_ckpt() -> str:
     if not os.path.exists(os.path.join(ckpt, "clusters", "_SUCCESS")):
         from gsearch_spark.session import get_spark
         _run_image_pipeline(get_spark("gsearch_spark_oracle"), sf_dir)
+    return ckpt
+
+
+def _oracle_rm_ckpt() -> str:
+    """Post-takedown checkpoint for the sf0.01 build (see
+    :func:`_oracle_ckpt` for why the build must exist before the oracle
+    SQL is emitted)."""
+    sf_dir = "/root/testdata/sf0.01"
+    ckpt = f"{_oracle_ckpt()}_rm"
+    if not os.path.exists(os.path.join(ckpt, "_REMOVE_DONE")):
+        from gsearch_spark.session import get_spark
+        _run_removed_pipeline(get_spark("gsearch_spark_oracle"), sf_dir)
     return ckpt
 
 
@@ -302,6 +344,47 @@ rep_label AS (
 )
 SELECT g.image_id, rl.cluster_id
 FROM groups g JOIN rep_label rl USING (rep_id)
+"""
+
+# Post-takedown clusters, verified independently: DuckDB recomputes the
+# components of the SURVIVING graph from the mutated checkpoint's own
+# merge-on-read state — live members (exact_groups minus tombstones),
+# verified edges restricted to groups that still have a member, then
+# recursive reachability labeled by MINIMUM SURVIVING MEMBER (the same
+# normalization the remove path and a from-scratch rebuild produce;
+# founding group nodes may themselves be tombstoned, so labels must come
+# from members, not node ids).
+_SQL_IMAGES_REMOVE_CLUSTERS = """
+WITH RECURSIVE
+groups AS (SELECT image_id, rep_id FROM read_parquet('{groups}')),
+tomb AS (SELECT image_id FROM read_parquet('{tomb}')),
+live AS (
+  SELECT g.image_id, g.rep_id FROM groups g
+  WHERE g.image_id NOT IN (SELECT image_id FROM tomb)
+),
+nodes AS (SELECT DISTINCT rep_id FROM live),
+edges AS (
+  SELECT a, b FROM read_parquet('{edges}')
+  WHERE a IN (SELECT rep_id FROM nodes)
+    AND b IN (SELECT rep_id FROM nodes)
+),
+bidir AS (
+  SELECT a AS u, b AS v FROM edges
+  UNION
+  SELECT b AS u, a AS v FROM edges
+),
+reach(u, label) AS (
+  SELECT rep_id, rep_id FROM nodes
+  UNION
+  SELECT e.v, r.label FROM reach r JOIN bidir e ON e.u = r.u
+),
+comp AS (SELECT u AS rep_id, min(label) AS root FROM reach GROUP BY u),
+members AS (
+  SELECT l.image_id, c.root FROM live l JOIN comp c USING (rep_id)
+),
+lab AS (SELECT root, min(image_id) AS cluster_id FROM members GROUP BY root)
+SELECT m.image_id, lab.cluster_id
+FROM members m JOIN lab USING (root)
 """
 
 # Build-vs-probe request replayed WITHOUT decoding a pixel: a probe is a
@@ -391,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "images_lsh_pairs_sql": _q_images_lsh_pairs_sql,
         "images_request_ani": _q_images_request_ani,
         "images_clusters_sql": _q_images_clusters_sql,
+        "images_remove_clusters": _q_images_remove_clusters,
         # text dedup tier (DuckDB-oracled, md5-derived hashing)
         "exact_dedup_docs": textdedup.q_exact_dedup,
         "minhash_signatures_docs": textdedup.q_minhash_signatures,
@@ -460,6 +544,16 @@ def oracle_sql() -> dict[str, str]:
     return {
         "images_neardup_clusters": _SQL_IMAGES_NEARDUP_CLUSTERS.format(
             groups=groups_glob, edges=edges_glob),
+        # takedown path: DuckDB independently recomputes the surviving
+        # components from the post-remove checkpoint's merge-on-read
+        # state (exact_groups minus tombstones, surviving-group edges)
+        "images_remove_clusters": _SQL_IMAGES_REMOVE_CLUSTERS.format(
+            groups=os.path.join(_oracle_rm_ckpt(), "exact_groups",
+                                "*.parquet"),
+            edges=os.path.join(_oracle_rm_ckpt(), "verified_edges",
+                               "*.parquet"),
+            tomb=os.path.join(_oracle_rm_ckpt(), "tombstones",
+                              "tb=*", "*.parquet")),
         "images_request_topk": _SQL_IMAGES_REQUEST_TOPK.format(
             fixture=fixture_path,
             groups=groups_glob, bands=bands_glob, sigs=sigs_glob,

@@ -185,20 +185,28 @@ def cmd_remove(args) -> int:
 
 
 def cmd_compact(args) -> int:
-    """Offline id_index maintenance: rewrite the LSM generations down to
-    one latest row per image (the Iceberg rewrite-data-files analog).
-    Run when the stale fraction grows; takes the build's writer lock."""
+    """Offline maintenance (the Iceberg rewrite-data-files analog):
+    first physically purge any merge-on-read removal state (drop
+    tombstoned/dead rows, re-key promoted reps, rebuild id_index), then
+    rewrite the id_index LSM generations down to one latest row per
+    image.  Run when the stale fraction grows; takes the build's
+    writer lock."""
     from gsearch_spark.config import PipelineConfig
     from gsearch_spark.fs import CheckpointFS
     from gsearch_spark.operators.keyidx import compact_id_index
+    from gsearch_spark.operators.remove import purge_removed
     spark = _spark(args.cores)
     cfg = PipelineConfig.reload_via(CheckpointFS(spark, args.build_dir),
                                     args.build_dir)
+    stats = purge_removed(spark, cfg, args.build_dir)
     path = os.path.join(args.build_dir, "id_index")
     before = spark.read.parquet(path).count()
     compact_id_index(spark, path, cfg)
     after = spark.read.parquet(path).count()
-    print(f"compact: id_index {before} -> {after} rows")
+    print(f"compact: purged {stats['tombstones_purged']} tombstones / "
+          f"{stats['dead_groups_purged']} dead groups / "
+          f"{stats['reps_rekeyed']} re-keyed reps; "
+          f"id_index {before} -> {after} rows")
     return 0
 
 

@@ -268,12 +268,13 @@ def lookup_id_index(spark: SparkSession, path: str, ids: DataFrame,
 
 # ----------------------------------------------------------- maintenance
 
-def recover_id_index_compaction(fs, path: str) -> bool:
-    """Roll a torn :func:`compact_id_index` swap forward (or discard its
-    pre-commit staging).  The swap protocol is: write ``path__compact``
-    fully, rename live ``path`` -> ``path__old``, rename
-    ``path__compact`` -> ``path``, delete ``path__old`` — so every crash
-    window is distinguishable from the directories alone:
+def recover_table_swap(fs, path: str) -> bool:
+    """Roll a torn staged-table swap forward (or discard its pre-commit
+    staging) — used by :func:`compact_id_index` and the purge pass of
+    ``operators/remove.py``.  The swap protocol is: write
+    ``path__compact`` fully, rename live ``path`` -> ``path__old``,
+    rename ``path__compact`` -> ``path``, delete ``path__old`` — so
+    every crash window is distinguishable from the directories alone:
 
     * live ``path`` present: anything left over is pre-swap staging or
       a post-swap old copy — both droppable garbage;
@@ -304,6 +305,25 @@ def recover_id_index_compaction(fs, path: str) -> bool:
     return False
 
 
+# established call sites (pipeline add entry, tests) use the original,
+# id_index-specific name
+recover_id_index_compaction = recover_table_swap
+
+
+def swap_table_in(fs, path: str, staged: str) -> None:
+    """Atomically swap a fully-staged replacement directory into
+    ``path`` via the two-rename protocol :func:`recover_table_swap`
+    understands (``staged`` must be ``path + '__compact'``)."""
+    old = f"{path}__old"
+    if staged != f"{path}__compact":
+        raise ValueError(f"staged dir must be {path}__compact")
+    if not fs.rename(path, old):
+        raise IOError(f"table swap rename failed: {path} -> {old}")
+    if not fs.rename(staged, path):
+        raise IOError(f"table swap rename failed: {staged} -> {path}")
+    fs.delete(old)
+
+
 def compact_id_index(spark: SparkSession, path: str,
                      cfg: PipelineConfig) -> None:
     """Rewrite id_index down to one latest row per image (offline
@@ -332,11 +352,7 @@ def compact_id_index(spark: SparkSession, path: str,
                      .withColumn("ib", _kb("image_id", cfg.key_buckets))
                      .repartition(cfg.key_buckets, F.col("ib"))
                      .sortWithinPartitions("image_id"))
-        tmp, old = f"{path}__compact", f"{path}__old"
+        tmp = f"{path}__compact"
         compacted.write.mode("overwrite").partitionBy("ib").parquet(tmp)
-        if not fs.rename(path, old):
-            raise IOError(f"compaction swap rename failed: {path} -> {old}")
-        if not fs.rename(tmp, path):
-            raise IOError(f"compaction swap rename failed: {tmp} -> {path}")
-        fs.delete(old)
+        swap_table_in(fs, path, tmp)
         spark.catalog.refreshByPath(path)

@@ -490,10 +490,11 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
 
     cfg.assert_matches_via(pipe.fs, checkpoint_dir)
     recover_add_commit(spark, checkpoint_dir)  # finish any torn commit
-    # a torn offline id_index compaction (crash between its two swap
-    # renames) rolls forward here too, before the layout checks below
-    from gsearch_spark.operators.keyidx import recover_id_index_compaction
-    recover_id_index_compaction(pipe.fs, pipe._path("id_index"))
+    # a torn staged-table swap (offline id_index compaction or a purge
+    # pass killed between its two renames) rolls forward here too,
+    # before the layout checks below
+    from gsearch_spark.operators.remove import recover_all_swaps
+    recover_all_swaps(pipe.fs, checkpoint_dir)
 
     old_groups = spark.read.parquet(pipe._path("exact_groups"))
     if "ck" not in old_groups.columns:

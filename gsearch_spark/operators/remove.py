@@ -111,6 +111,24 @@ def has_removals(spark: SparkSession, checkpoint_dir: str) -> bool:
     return CheckpointFS(spark, path).exists(path)
 
 
+# tables the purge pass swaps atomically (and whose torn swaps every
+# mutation entry point heals before touching the build)
+SWAP_TABLES = ("exact_groups", "signatures", "bands", "candidate_pairs",
+               "verified_edges", "edge_index", "ck_index", "id_index")
+
+
+def recover_all_swaps(fs, checkpoint_dir: str) -> bool:
+    """Heal any torn staged-table swap (purge / id_index compaction)
+    across every swappable table — a handful of existence probes when
+    nothing is torn.  Called at the start of every add, remove and
+    purge."""
+    from gsearch_spark.operators.keyidx import recover_table_swap
+    hit = False
+    for name in SWAP_TABLES:
+        hit = recover_table_swap(fs, f"{checkpoint_dir}/{name}") or hit
+    return hit
+
+
 # --------------------------------------------------------------- removal
 
 def remove_images(spark: SparkSession, cfg: PipelineConfig,
@@ -138,7 +156,6 @@ def _remove_locked(spark: SparkSession, cfg: PipelineConfig,
     from gsearch_spark.operators.cc import connected_components, union_find
     from gsearch_spark.operators.keyidx import (lookup_edges_among,
                                                 lookup_id_index,
-                                                recover_id_index_compaction,
                                                 stage_id_append)
     from gsearch_spark.operators.pipeline import (ADD_MANIFEST, ID_GEN_FILE,
                                                   _apply_add_commit,
@@ -146,7 +163,7 @@ def _remove_locked(spark: SparkSession, cfg: PipelineConfig,
 
     cfg.assert_matches_via(pipe.fs, checkpoint_dir)
     recover_add_commit(spark, checkpoint_dir)
-    recover_id_index_compaction(pipe.fs, pipe._path("id_index"))
+    recover_all_swaps(pipe.fs, checkpoint_dir)
     id_path = pipe._path("id_index")
     edge_path = pipe._path("edge_index")
     if not (pipe.fs.exists(f"{id_path}/_SUCCESS")
@@ -316,3 +333,134 @@ def _remove_locked(spark: SparkSession, cfg: PipelineConfig,
         spark.catalog.refreshByPath(pipe._path(name))
     return (spark.read.parquet(pipe._path("clusters"))
             .select("image_id", "cluster_id"))
+
+
+# ----------------------------------------------------------------- purge
+
+def purge_removed(spark: SparkSession, cfg: PipelineConfig,
+                  checkpoint_dir: str) -> dict:
+    """Physically apply the merge-on-read removal state — the Iceberg
+    rewrite-data-files half of the delete lifecycle.  Rewrites every
+    corpus-sized stage dropping dead-group rows and re-keying remapped
+    founding reps to their promoted surviving members, rebuilds id_index
+    from the purged clusters+groups (restoring is_rep for promoted
+    reps), then drops the three sidecars.  After a purge the build is
+    byte-level indistinguishable in BEHAVIOR from one that never held
+    the removed rows: adds, requests and reports run their exact
+    zero-removal plans again.
+
+    Crash-safety: each table swap is individually atomic (staged write
+    + the two-rename protocol of ``keyidx.recover_table_swap``), the
+    pass is idempotent and re-runnable, and the sidecars are deleted
+    LAST — a crash anywhere leaves a build that is still correct under
+    merge-on-read and a purge that can simply run again.  Readers
+    without the writer lock can observe a mid-purge mix of rewritten
+    and pending tables (momentarily degraded recall, never resurrected
+    ids — the sidecar vetoes stay in force until the final step); run
+    it in a maintenance window like any rewrite-data-files job.
+    """
+    from gsearch_spark.operators.keyidx import (read_edge_index,
+                                                swap_table_in)
+    from gsearch_spark.operators.pipeline import (NearDupPipeline,
+                                                  add_writer_lock,
+                                                  recover_add_commit)
+    pipe = NearDupPipeline(spark, cfg, checkpoint_dir)
+    with add_writer_lock(spark, checkpoint_dir):
+        cfg.assert_matches_via(pipe.fs, checkpoint_dir)
+        recover_add_commit(spark, checkpoint_dir)
+        recover_all_swaps(pipe.fs, checkpoint_dir)
+        if not has_removals(spark, checkpoint_dir):
+            return {"tombstones_purged": 0, "dead_groups_purged": 0,
+                    "reps_rekeyed": 0}
+        T = (read_tombstones(spark, checkpoint_dir)
+             .select("image_id").localCheckpoint())
+        D = (read_dead_groups(spark, checkpoint_dir)
+             .select("rep_id").localCheckpoint())
+        R = read_rep_remap(spark, checkpoint_dir).localCheckpoint()
+        stats = {"tombstones_purged": T.count(),
+                 "dead_groups_purged": D.count(),
+                 "reps_rekeyed": R.count()}
+
+        def _swap(name: str, df: DataFrame,
+                  partition_col: "str | None" = None) -> None:
+            path = pipe._path(name)
+            tmp = f"{path}__compact"
+            if partition_col:
+                (df.repartition(cfg.key_buckets, F.col(partition_col))
+                 .sortWithinPartitions(df.columns[0])
+                 .write.mode("overwrite").partitionBy(partition_col)
+                 .parquet(tmp))
+            else:
+                df.write.mode("overwrite").parquet(tmp)
+            swap_table_in(pipe.fs, path, tmp)
+            spark.catalog.refreshByPath(path)
+
+        def remap_col(df: DataFrame, col: str) -> DataFrame:
+            rr = R.select(F.col("old_rep").alias(col),
+                          F.col("new_rep").alias("__nr"))
+            return (df.join(F.broadcast(rr), col, "left")
+                    .withColumn(col, F.coalesce("__nr", F.col(col)))
+                    .drop("__nr"))
+
+        def drop_dead(df: DataFrame, col: str) -> DataFrame:
+            return df.join(
+                F.broadcast(D.withColumnRenamed("rep_id", col)),
+                col, "left_anti")
+
+        def pair_fix(df: DataFrame, extra: "list[str]") -> DataFrame:
+            d = remap_col(remap_col(drop_dead(drop_dead(df, "a"), "b"),
+                                    "a"), "b")
+            return d.select(F.least("a", "b").alias("a"),
+                            F.greatest("a", "b").alias("b"), *extra)
+
+        # member-level table: drop tombstoned rows, re-key group reps
+        eg = spark.read.parquet(pipe._path("exact_groups"))
+        _swap("exact_groups",
+              remap_col(eg.join(F.broadcast(T), "image_id", "left_anti"),
+                        "rep_id"))
+        # rep-keyed tables: dead groups vanish, remapped reps re-key
+        # (the promoted member is byte-and-caption identical, so the
+        # signature/band/sketch VALUES are already its own)
+        sigs = spark.read.parquet(pipe._path("signatures"))
+        _swap("signatures", remap_col(drop_dead(sigs, "image_id"),
+                                      "image_id"))
+        bands = spark.read.parquet(pipe._path("bands"))
+        _swap("bands", remap_col(drop_dead(bands, "image_id"),
+                                 "image_id"))
+        cp = spark.read.parquet(pipe._path("candidate_pairs"))
+        _swap("candidate_pairs", pair_fix(cp, ["src"]))
+        ve = spark.read.parquet(pipe._path("verified_edges"))
+        _swap("verified_edges",
+              pair_fix(ve, [c for c in ve.columns if c not in ("a", "b")]))
+        ei = read_edge_index(spark, pipe._path("edge_index"))
+        ei2 = (pair_fix(ei.select("a", "b"), [])
+               .withColumn("eb", F.pmod(F.xxhash64("a"),
+                                        F.lit(cfg.key_buckets))
+                           .cast("int")))
+        _swap("edge_index", ei2, partition_col="eb")
+        ck = spark.read.parquet(pipe._path("ck_index"))
+        _swap("ck_index",
+              remap_col(drop_dead(ck, "rep_id"), "rep_id")
+              .select("ck", "rep_id", "kb"), partition_col="kb")
+        # id_index: rebuild one gen-0 row per surviving image from the
+        # purged clusters+groups (restores is_rep on promoted reps; the
+        # generation counter file is untouched, so future mutations'
+        # deltas still win lookups)
+        eg2 = spark.read.parquet(pipe._path("exact_groups"))
+        clusters = (spark.read.parquet(pipe._path("clusters"))
+                    .select("image_id", "cluster_id"))
+        flags = eg2.select("image_id",
+                           (F.col("image_id") == F.col("rep_id"))
+                           .alias("is_rep"), "rep_id")
+        idx = (clusters.join(flags, "image_id")
+               .withColumn("gen", F.lit(0))
+               .withColumn("ib", F.pmod(F.xxhash64("image_id"),
+                                        F.lit(cfg.key_buckets))
+                           .cast("int")))
+        _swap("id_index", idx, partition_col="ib")
+        # sidecars go LAST: until here every reader stayed correct under
+        # merge-on-read; after, the zero-removal fast paths re-engage
+        for name in (TOMBSTONES, DEAD_GROUPS, REP_REMAP):
+            pipe.fs.delete(pipe._path(name))
+            spark.catalog.refreshByPath(pipe._path(name))
+        return stats

@@ -290,3 +290,85 @@ def test_remove_commit_crash_rolls_forward(spark, monkeypatch):
     out = remove_images(spark, CFG, crash, spark.createDataFrame(
         [("c_c",)], "image_id string"))
     assert _assign(out) == {"c_b": "c_b"}
+
+
+def test_purge_restores_zero_removal_build(spark, removal_build):
+    """After purge_removed the build must BEHAVE byte-identically to one
+    that never held the removed rows: sidecars gone, no tombstoned id in
+    any stage table, promoted reps re-keyed (is_rep restored), and a
+    subsequent add still equals a rebuild."""
+    from gsearch_spark.operators.keyidx import (lookup_id_index,
+                                                read_edge_index)
+    from gsearch_spark.operators.remove import (has_removals,
+                                                purge_removed)
+    b = removal_build
+    ckpt = b["ckpt"]
+    before = _clusters(spark, ckpt)
+    remap = {r["old_rep"]: r["new_rep"] for r in
+             read_rep_remap(spark, ckpt).collect()}
+    stats = purge_removed(spark, CFG, ckpt)
+    assert stats["tombstones_purged"] == len(b["rm_ids"])
+    assert not has_removals(spark, ckpt)
+    assert _clusters(spark, ckpt) == before  # purge never moves clusters
+    rm_set = set(b["rm_ids"])
+    for name, col in (("exact_groups", "image_id"),
+                      ("signatures", "image_id"), ("bands", "image_id"),
+                      ("ck_index", "rep_id")):
+        vals = {r[0] for r in spark.read.parquet(f"{ckpt}/{name}")
+                .select(col).distinct().collect()}
+        assert not (vals & rm_set), (name, vals & rm_set)
+    ei = read_edge_index(spark, f"{ckpt}/edge_index")
+    for col in ("a", "b"):
+        vals = {r[0] for r in ei.select(col).distinct().collect()}
+        assert not (vals & rm_set), ("edge_index", col)
+    # promoted rep carries is_rep again and owns its group in the index
+    promoted = remap[b["rep_removed"]]
+    probe = spark.createDataFrame([(promoted,)], "image_id string")
+    row = lookup_id_index(spark, f"{ckpt}/id_index", probe, CFG).collect()
+    assert row and row[0]["is_rep"] and row[0]["rep_id"] == promoted
+    # purge is idempotent / re-runnable
+    assert purge_removed(spark, CFG, ckpt)["tombstones_purged"] == 0
+
+
+def test_add_and_request_after_purge_match_rebuild(spark,
+                                                   small_fixture_dir):
+    """End-to-end lifecycle: build -> remove (incl. a whole group and a
+    rep with survivors) -> purge -> add; clusters equal a rebuild and a
+    request against the purged+added build returns the same answers as
+    against the rebuild."""
+    from gsearch_spark.operators.remove import purge_removed
+    from gsearch_spark.operators.request import request
+    images = spark.read.parquet(f"{small_fixture_dir}/images.parquet")
+    ids = sorted(r["image_id"] for r in images.select("image_id")
+                 .collect())
+    cut = ids[int(len(ids) * 0.8)]
+    base = images.filter(F.col("image_id") < cut)
+    later = images.filter(F.col("image_id") >= cut)
+    ckpt = "/tmp/gsearch_spark_ckpt_purge_add"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    NearDupPipeline(spark, CFG, ckpt).run(base, resume=False)
+    groups = spark.read.parquet(f"{ckpt}/exact_groups")
+    rep = [r[0] for r in groups.groupBy("rep_id")
+           .agg(F.count(F.lit(1)).alias("n")).filter("n >= 2")
+           .select("rep_id").orderBy("rep_id").limit(1).collect()]
+    solo = [r[0] for r in groups.groupBy("rep_id")
+            .agg(F.count(F.lit(1)).alias("n")).filter("n = 1")
+            .select("rep_id").orderBy("rep_id").limit(1).collect()]
+    rm_ids = sorted(set(rep + solo))
+    rm = spark.createDataFrame([(i,) for i in rm_ids], "image_id string")
+    remove_images(spark, CFG, ckpt, rm)
+    purge_removed(spark, CFG, ckpt)
+    surv = base.join(rm, "image_id", "left_anti")
+    all_after = surv.unionByName(later)
+    got = _assign(incremental_add(spark, CFG, ckpt, later, all_after))
+    truth_ckpt = "/tmp/gsearch_spark_ckpt_purge_add_t"
+    want = _rebuild(spark, all_after, truth_ckpt)
+    assert got == want
+    probes = (all_after.orderBy("image_id").limit(8)
+              .select(F.concat(F.lit("q_"), "image_id").alias("image_id"),
+                      "bytes", "caption", "phash"))
+    def _ans(ck):
+        return sorted((r["query_id"], r["target_id"], r["rank"])
+                      for r in request(spark, ck, probes, k=3,
+                                       max_distance=0.6).collect())
+    assert _ans(ckpt) == _ans(truth_ckpt)
