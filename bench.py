@@ -208,6 +208,28 @@ def main() -> None:
     shutil.rmtree(ckpt_copy, ignore_errors=True)
     queries["incremental_add"] = min(add_times)
 
+    # ---- takedown: remove ~0.5% of the corpus from the build ------------
+    # (same throwaway-copy protocol as the add; excluded from the
+    # headline total so bench_suite_seconds stays comparable across
+    # rounds — the per-unit number and removes/sec are what matter)
+    from gsearch_spark.operators.remove import remove_images
+    rm_ids = (images
+              .filter(F.pmod(F.xxhash64("image_id"), F.lit(199)) == 0)
+              .select("image_id"))
+    n_rm = rm_ids.count()
+    rm_times = []
+    for rep in range(n_runs):
+        if rep > 0 and over_budget(0.88):
+            break
+        shutil.rmtree(ckpt_copy, ignore_errors=True)
+        shutil.copytree(ckpt, ckpt_copy)
+        t0 = time.time()
+        remove_images(spark, cfg, ckpt_copy, rm_ids).write.format(
+            "noop").mode("overwrite").save()
+        rm_times.append(round(time.time() - t0, 3))
+    shutil.rmtree(ckpt_copy, ignore_errors=True)
+    queries["remove_batch"] = min(rm_times)
+
     # ---- representative driver-table queries -----------------------------
     qmap = entrymod.queries()
     for name in DOC_QUERIES:
@@ -222,7 +244,8 @@ def main() -> None:
         queries[name] = min(times)
 
     total = round(sum(v for k, v in queries.items()
-                      if not k.endswith(("_cc_reliable", "_bucketed")))
+                      if not k.endswith(("_cc_reliable", "_bucketed",
+                                         "remove_batch")))
                   - queries["pipeline_total"], 3)
     out = {
         "metric": "bench_suite_seconds",
@@ -248,6 +271,10 @@ def main() -> None:
         "adds_per_sec_incremental": round(
             n_add / queries["incremental_add"], 1)
         if queries.get("incremental_add") else None,
+        "n_removed": n_rm,
+        "removes_per_sec": round(n_rm / queries["remove_batch"], 1)
+        if queries.get("remove_batch") else None,
+        "remove_runs": rm_times,
     }
     spark.stop()
     print(json.dumps(out))

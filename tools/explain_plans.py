@@ -94,6 +94,14 @@ def main() -> None:
     ck_lookup = lookup_ck_index(spark, os.path.join(ckpt, "ck_index"),
                                 probe_cks.localCheckpoint(), cfg)
 
+    # remove path (r5): the split recomputation's edge read must show
+    # PartitionFilters on eb AND PushedFilters In(a, …) — edges among
+    # the affected clusters' group nodes only, never an edge-table scan
+    from gsearch_spark.operators.keyidx import lookup_edges_among
+    probe_nodes = probe_ids.select(F.col("image_id").alias("a"))
+    edge_lookup = lookup_edges_among(
+        spark, os.path.join(ckpt, "edge_index"), probe_nodes, cfg)
+
     sections = [
         ("signatures (images -> sketches; check ReadSchema is pruned to "
          "image_id/bytes/caption/phash)", sigs),
@@ -114,6 +122,9 @@ def main() -> None:
         ("ck_index point lookup (add path exact-membership probe; check "
          "PartitionFilters on kb AND PushedFilters In(ck, …))",
          ck_lookup),
+        ("edge_index pruned read (remove path split recomputation; "
+         "check PartitionFilters on eb AND PushedFilters In(a, …) — "
+         "only affected group nodes' buckets scanned)", edge_lookup),
     ]
     out = ["# Physical plans (auto-generated by tools/explain_plans.py)\n"]
     for title, df in sections:
