@@ -21,8 +21,9 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from gsearch_spark.config import PipelineConfig  # noqa: E402
-from gsearch_spark.operators import (ann, bloomslice, profilesearch,  # noqa: E402
-                                     relational, text, textdedup)
+from gsearch_spark.operators import (ann, bloomslice, ivf,  # noqa: E402
+                                     profilesearch, relational, text,
+                                     textdedup)
 
 _CACHE_ROOT = "/tmp/gsearch_spark_entry"
 _CFG = PipelineConfig()
@@ -254,6 +255,21 @@ def _oracle_ckpt() -> str:
         from gsearch_spark.session import get_spark
         _run_image_pipeline(get_spark("gsearch_spark_oracle"), sf_dir)
     return ckpt
+
+
+def _ivf_oracle_centroids() -> str:
+    """Trained-centroid checkpoint for the sf0.01 embeddings table,
+    guaranteed to exist (see :func:`_oracle_ckpt` for why) — the IVF
+    oracle replays assign -> probe -> rerank in DuckDB from the same
+    centroid parquet the Spark query reads."""
+    from gsearch_spark.operators import ivf as _ivf
+    sf_dir = "/root/testdata/sf0.01"
+    path = _ivf.default_centroids_path(sf_dir)
+    if not os.path.exists(path):
+        from gsearch_spark.session import get_spark
+        _ivf.ensure_centroids(get_spark("gsearch_spark_oracle"),
+                              f"{sf_dir}/embeddings.parquet", path)
+    return path
 
 
 def _oracle_rm_ckpt() -> str:
@@ -508,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine_topk": ann.q_knn_cosine_topk,
         "ann_lsh_buckets": ann.q_ann_lsh_buckets,
         "ann_lsh_topk": ann.q_ann_lsh_topk,
+        "ann_ivf_topk": ivf.q_ann_ivf_topk,
         "embedding_cosine_pairs": ann.q_embedding_cosine_pairs,
         # relational operator analogs (SURVEY §2 F/G/O/C)
         "scan_filter_project": relational.q_scan_filter_project,
@@ -594,6 +611,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine_topk": ann.SQL_KNN_COSINE_TOPK,
         "ann_lsh_buckets": ann.SQL_ANN_LSH_BUCKETS,
         "ann_lsh_topk": ann.SQL_ANN_LSH_TOPK,
+        "ann_ivf_topk": ivf.sql_ann_ivf_topk(_ivf_oracle_centroids()),
         "embedding_cosine_pairs": ann.SQL_EMBEDDING_COSINE_PAIRS,
         "scan_filter_project": relational.SQL_SCAN_FILTER_PROJECT,
         "rollup_lineitem": relational.SQL_ROLLUP_LINEITEM,

@@ -30,7 +30,8 @@ _N_BASE_BY_SF = {"sf0.001": 1_600, "sf0.01": 16_000, "sf0.1": 160_000}
 
 DOC_QUERIES = ("rollup_lineitem", "merit_product", "lsh_band_pairs_docs",
                "minhash_signatures_docs", "sessionize_events",
-               "token_count", "quality_score", "revenue_topk_suppliers")
+               "token_count", "quality_score", "revenue_topk_suppliers",
+               "ann_ivf_topk")
 
 
 def main() -> None:

@@ -94,6 +94,16 @@ def main() -> None:
     ck_lookup = lookup_ck_index(spark, os.path.join(ckpt, "ck_index"),
                                 probe_cks.localCheckpoint(), cfg)
 
+    # IVF probe (r5): the K-row trained centroid table must reach the
+    # corpus via a BROADCAST join (assign/probe never shuffle the corpus
+    # against the quantizer), and the inverted-list candidate lookup is
+    # an equi-join on list_id — co-locatable when both sides are
+    # partitioned by list_id at scale
+    from gsearch_spark.operators import ivf as ivfmod
+    ivf_df = ivfmod.q_ann_ivf_topk(
+        spark, "/root/testdata/sf0.001",
+        centroids_path=fixture + "_ivf_centroids.parquet")
+
     # remove path (r5): the split recomputation's edge read must show
     # PartitionFilters on eb AND PushedFilters In(a, …) — edges among
     # the affected clusters' group nodes only, never an edge-table scan
@@ -122,6 +132,10 @@ def main() -> None:
         ("ck_index point lookup (add path exact-membership probe; check "
          "PartitionFilters on kb AND PushedFilters In(ck, …))",
          ck_lookup),
+        ("ann_ivf_topk (IVF-Flat: check the centroid side enters via "
+         "BroadcastExchange/BroadcastNestedLoopJoin — a K-row table — "
+         "and the cands stage is an equi-join on list_id, never an "
+         "all-pairs corpus join)", ivf_df),
         ("edge_index pruned read (remove path split recomputation; "
          "check PartitionFilters on eb AND PushedFilters In(a, …) — "
          "only affected group nodes' buckets scanned)", edge_lookup),
