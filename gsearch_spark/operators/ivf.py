@@ -179,24 +179,103 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str,
                    centroids_path: str | None = None) -> DataFrame:
     """IVF-Flat retrieval: trained coarse quantizer -> inverted-list
     probe -> exact cosine top-k (same answer shape as ``ann_lsh_topk``
-    so the two scale paths are directly comparable)."""
+    so the two scale paths are directly comparable).
+
+    Execution shape (round-6 optimization; answer rows bit-identical to
+    the single-SQL form, which remains as the DuckDB oracle text and
+    the dim-mismatch fallback below):
+
+    * ``norms`` and the ranked-list window are each MATERIALIZED once —
+      the single-SQL plan re-evaluated the embeddings scan + norm HOF
+      four times (probe arm, assign arm, both rerank sides) and the
+      centroid-similarity window twice (guide §2.4 duplicated subtrees);
+    * the candidate list is explicitly hash-repartitioned on vec_id
+      before the rerank: the inverted-list join EXPANDS ~n*nprobe*(n/K)
+      rows out of a tiny shuffle, so AQE's size-based coalescing (which
+      only sees the small input bytes) otherwise funnels the whole
+      rerank into one task (guide §2.5: synthetic partition starvation);
+    * the rerank dot product is UNROLLED into a codegen'd left-assoc
+      addition chain seeded with ``0.0`` — term-for-term the same IEEE
+      operation order as the SQL ``aggregate(zip_with(...))`` fold, so
+      every double is bit-identical — instead of an interpreted
+      per-element lambda fold over ~n^2*nprobe/K array elements
+      (guide §4.1: prefer codegen expressions over per-row lambdas).
+    """
     emb_path = f"{sf_dir}/embeddings.parquet"
     spark.read.parquet(emb_path).createOrReplaceTempView("embeddings")
     if centroids_path is None:
         centroids_path = default_centroids_path(sf_dir)
     ensure_centroids(spark, emb_path, centroids_path)
-    spark.read.parquet(centroids_path) \
-        .createOrReplaceTempView("ivf_centroids")
-    return spark.sql(_scored_cte("ivf_centroids") + f"""
-      , final AS (
-        SELECT vec_id, nbr_id, cos_sim,
-               row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY cos_sim DESC, nbr_id) AS rank
-        FROM scored
-      )
-      SELECT vec_id, nbr_id, cos_sim, cast(rank AS int) AS rank
-      FROM final WHERE rank <= {TOP_K}
-    """)
+    cent = spark.read.parquet(centroids_path)
+    cent.createOrReplaceTempView("ivf_centroids")
+
+    norms = spark.sql("""
+      SELECT vec_id, e,
+             sqrt(aggregate(e, cast(0.0 AS double),
+                            (acc, x) -> acc + x * x)) AS nrm
+      FROM (SELECT vec_id, transform(embedding, x -> cast(x AS double))
+                     AS e
+            FROM embeddings)
+    """).localCheckpoint()
+    dim_row = norms.agg(F.min(F.size("e")).alias("lo"),
+                        F.max(F.size("e")).alias("hi"),
+                        F.count(F.lit(1)).alias("n")).collect()[0]
+    cdim = len(cent.select("centroid").head()["centroid"])
+    if dim_row["lo"] != dim_row["hi"] or dim_row["lo"] != cdim:
+        # heterogeneous dims: keep the reference single-SQL plan whose
+        # zip_with null-padding semantics the oracle mirrors
+        return spark.sql(_scored_cte("ivf_centroids") + f"""
+          , final AS (
+            SELECT vec_id, nbr_id, cos_sim,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos_sim DESC, nbr_id)
+                     AS rank
+            FROM scored
+          )
+          SELECT vec_id, nbr_id, cos_sim, cast(rank AS int) AS rank
+          FROM final WHERE rank <= {TOP_K}
+        """)
+    dim = int(dim_row["lo"])
+    norms.createOrReplaceTempView("ivf_norms")
+    ranked = (spark.sql(f"""
+      SELECT vec_id, list_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, list_id) AS lrank
+      FROM (
+        SELECT n.vec_id, c.list_id,
+               round(aggregate(zip_with(n.e, c.centroid,
+                                        (x, y) -> x * y),
+                               cast(0.0 AS double), (acc, x) -> acc + x)
+                     / n.nrm, 4) AS sim
+        FROM ivf_norms n CROSS JOIN ivf_centroids c)
+    """).filter(F.col("lrank") <= N_PROBE).localCheckpoint())
+    probe = ranked.select("vec_id", "list_id")
+    assign = (ranked.filter(F.col("lrank") == 1)
+              .select(F.col("vec_id").alias("nbr_id"), "list_id"))
+    n_parts = spark.sparkContext.defaultParallelism
+    cands = (probe.join(assign, "list_id")
+             .filter(F.col("vec_id") != F.col("nbr_id"))
+             .select("vec_id", "nbr_id").distinct()
+             .repartition(n_parts, "vec_id"))
+    a = norms.select("vec_id", F.col("e").alias("ea"),
+                     F.col("nrm").alias("na"))
+    b = norms.select(F.col("vec_id").alias("nbr_id"),
+                     F.col("e").alias("eb"), F.col("nrm").alias("nb"))
+    if dim_row["n"] <= 1_000_000:
+        a, b = F.broadcast(a), F.broadcast(b)
+    dot = F.lit(0.0)
+    for i in range(1, dim + 1):
+        dot = dot + (F.element_at("ea", i) * F.element_at("eb", i))
+    scored = (cands.join(a, "vec_id").join(b, "nbr_id")
+              .select("vec_id", "nbr_id",
+                      F.round(dot / (F.col("na") * F.col("nb")), 4)
+                      .alias("cos_sim")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "nbr_id")
+    return (scored
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= TOP_K)
+            .select("vec_id", "nbr_id", "cos_sim", "rank"))
 
 
 def sql_ann_ivf_topk(centroids_path: str) -> str:

@@ -60,6 +60,41 @@ class ConcurrentAddError(RuntimeError):
     """Another writer holds the build's mutation lock."""
 
 
+_TRACE_T0 = time.time()
+
+
+def _trace(msg: str) -> None:
+    """Mutation-path step tracing (no-op unless GSEARCH_TRACE_MUTATIONS
+    is set): prints wall-clock offsets of the concurrent add/remove
+    chains so a profiler can attribute time between stage records."""
+    if os.environ.get("GSEARCH_TRACE_MUTATIONS"):
+        print(f"[trace {time.time() - _TRACE_T0:9.2f}] {msg}",
+              flush=True)
+
+
+def _run_parallel(*thunks):
+    """Run independent Spark job chains concurrently (guide §2.6,
+    overlap independent jobs): the mutation paths are long sequences of
+    SMALL jobs whose per-job latency — not data volume — dominates at
+    append/remove sizes, and independent chains (new-vs-new bands,
+    new-vs-old probe, suffix pass; the three sidecar staging writes)
+    back-fill each other's task tails instead of serializing.  Results
+    return in call order; the first exception is re-raised.  Threads
+    use pyspark's inheritable_thread_target so job-group/description
+    properties propagate."""
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    from concurrent.futures import ThreadPoolExecutor
+    from pyspark import inheritable_thread_target
+    from pyspark.sql import SparkSession
+    session = SparkSession.getActiveSession()
+    wrap = (inheritable_thread_target(session) if session is not None
+            else inheritable_thread_target)
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futs = [pool.submit(wrap(t)) for t in thunks]
+        return [f.result() for f in futs]
+
+
 def _pid_alive(pid: int) -> bool:
     try:
         os.kill(int(pid), 0)
@@ -163,6 +198,10 @@ class NearDupPipeline:
         # scheduler overhead, and deferring also means a FAILED add
         # leaves no state rows for work that never committed
         self._state_buf: "list[tuple]" = []
+        # mutation paths record stages from concurrent driver threads
+        # (guide §2.6); the record buffers are the only shared state
+        import threading
+        self._rec_lock = threading.Lock()
 
     # ------------------------------------------------------------ plumbing
 
@@ -188,19 +227,22 @@ class NearDupPipeline:
         parts = (out.groupBy(F.spark_partition_id().alias("part_id"))
                  .agg(F.count(F.lit(1)).alias("rows_out")).collect())
         n = sum(p["rows_out"] for p in parts)
-        rows_in = self.records[-1].rows_out if self.records else -1
-        rec = StageRecord(stage, n, time.time() - t0, skipped,
-                          rows_in=rows_in, t_start=t0, t_end=time.time())
-        self.records.append(rec)
-        if not parts:
-            # an empty stage still gets a lineage row (part_id -1):
-            # zero-row probes (e.g. a clean id-clash check) must appear
-            # in pipeline_state for the sent==received reconciliation
-            parts = [{"part_id": -1, "rows_out": 0}]
-        self._state_buf.extend(
-            (stage, int(p["part_id"]), rows_in, int(p["rows_out"]),
-             rec.t_start, rec.t_end, rec.seconds, skipped,
-             self.cfg.config_hash()) for p in parts)
+        with self._rec_lock:
+            rows_in = self.records[-1].rows_out if self.records else -1
+            rec = StageRecord(stage, n, time.time() - t0, skipped,
+                              rows_in=rows_in, t_start=t0,
+                              t_end=time.time())
+            self.records.append(rec)
+            if not parts:
+                # an empty stage still gets a lineage row (part_id -1):
+                # zero-row probes (e.g. a clean id-clash check) must
+                # appear in pipeline_state for the sent==received
+                # reconciliation
+                parts = [{"part_id": -1, "rows_out": 0}]
+            self._state_buf.extend(
+                (stage, int(p["part_id"]), rows_in, int(p["rows_out"]),
+                 rec.t_start, rec.t_end, rec.seconds, skipped,
+                 self.cfg.config_hash()) for p in parts)
         return out
 
     def _flush_state(self) -> None:
@@ -313,10 +355,34 @@ class NearDupPipeline:
             clusters = self.spark.read.parquet(self._path("clusters"))
             clusters = self._record("clusters", clusters, t0, skipped=True)
         else:
-            cc_dir = (os.path.join(self.dir, "cc_work")
-                      if self.cfg.cc_reliable_checkpoints else None)
-            rep_clusters = assign_clusters(edges, images_rep,
-                                           checkpoint_dir=cc_dir)
+            # small-graph fast path (same contract as the append path's
+            # contraction CC): below cfg.add_cc_local_max_edges the
+            # O(log^2 n) distributed star rounds are pure per-job
+            # latency — driver union-find produces IDENTICAL min-member
+            # labels (pinned by the parity/invariance tests).  The edge
+            # count is already known from the verified_edges record (no
+            # extra job); the reliable-checkpoint mode keeps the
+            # distributed path (its point is surviving executor loss).
+            n_edges = self.records[-1].rows_out
+            if (not self.cfg.cc_reliable_checkpoints
+                    and n_edges <= self.cfg.add_cc_local_max_edges):
+                mapping = union_find([(r["a"], r["b"]) for r in
+                                      edges.select("a", "b").collect()])
+                comp = self.spark.createDataFrame(
+                    sorted(mapping.items()),
+                    schema="image_id string, cluster_id string")
+                ids = images_rep.select("image_id")
+                rep_clusters = (ids.join(F.broadcast(comp), "image_id",
+                                         "left")
+                                .select("image_id",
+                                        F.coalesce("cluster_id",
+                                                   "image_id")
+                                        .alias("cluster_id")))
+            else:
+                cc_dir = (os.path.join(self.dir, "cc_work")
+                          if self.cfg.cc_reliable_checkpoints else None)
+                rep_clusters = assign_clusters(edges, images_rep,
+                                               checkpoint_dir=cc_dir)
             path = self._path("clusters")
             # repartition ON the partition column first: without it every
             # task writes a file into every pbucket dir (tasks x buckets
@@ -537,22 +603,113 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
     # filter for each is wasted IO — localCheckpoint (NOT persist; the
     # documented plan-cache-over-rewritten-path pitfall), O(new) bytes
     new_images = new_images.localCheckpoint()
-    n_new = new_images.count()
-    n_old = old_groups.count()
-    # exact_groups is merge-on-read historical state: removed rows stay
-    # until compaction, so the live-corpus count subtracts tombstones
-    n_dead = count_tombstones(spark, checkpoint_dir) if removals else 0
-    if all_images.count() != n_old - n_dead + n_new:
+
+    # three independent probe chains run CONCURRENTLY (guide §2.6): the
+    # union sanity counts, the id-clash refusal lookup and the new
+    # slice's content keys share nothing and are each a couple of small
+    # jobs whose latency would otherwise serialize
+    def _chk_counts():
+        n_new = new_images.count()
+        n_old = old_groups.count()
+        # exact_groups is merge-on-read historical state: removed rows
+        # stay until compaction, so the live count subtracts tombstones
+        n_dead = count_tombstones(spark, checkpoint_dir) if removals \
+            else 0
+        return n_new, n_old, n_dead, all_images.count()
+
+    def _chk_clash():
+        # id-clash refusal via the id-keyed layout: O(new) pruned point
+        # lookup, not a corpus scan of stored image_ids
+        t0 = time.time()
+        clash = lookup_id_index(spark, id_path,
+                                new_images.select("image_id"), cfg,
+                                idx_df=id_idx_df)
+        pipe._record("add_lookup_idclash", clash, t0, skipped=False)
+        return next(r for r in pipe.records
+                    if r.stage == "add_lookup_idclash").rows_out
+
+    def _mk_old_keys():
+        # content keys of the new slice, then the ck-membership probe —
+        # a read-only pruned point lookup, safe to overlap the refusal
+        # checks (staging mutation only starts after both validate)
+        nk = content_keys(new_images).localCheckpoint()
+        t0 = time.time()
+        old_keys = lookup_ck_index(spark, ck_path, nk.select("ck"), cfg,
+                                   idx_df=ck_idx_df)
+        if removals:
+            # a fully-removed exact-group's ck row lingers until
+            # compaction; re-added identical content must read as
+            # FRESH, not resurrect the dead group node
+            old_keys = old_keys.join(F.broadcast(dead_df), "rep_id",
+                                     "left_anti")
+        old_keys = old_keys.localCheckpoint()  # O(new) rows
+        pipe._record("add_lookup_ck", old_keys, t0, skipped=False)
+        return nk, old_keys
+
+    def _touched_prefix():
+        # touched phash groups for the suffix pass: the slice is keyed
+        # by the NEW images' phashes — a superset of the new REPS'
+        # phashes (a new non-rep's pixels equal its dup's pixels, hence
+        # its phash), and the suffix tail filters pairs to new-rep
+        # endpoints, so using the superset changes nothing downstream
+        # while letting this chain overlap the setup lookups instead of
+        # waiting for exact grouping.  When the touched set is small
+        # enough to ship as literals, push it down as an isin() filter
+        # so parquet row-group stats prune the payload scan (on a
+        # phash-sorted / z-ordered Iceberg table this turns the per-add
+        # suffix input read into O(touched groups) IO); bulk appends
+        # past the cap fall back to the semi join.
+        _trace("touched: start")
+        ph_vals = [r[0] for r in new_images.select("phash").distinct()
+                   .limit(10_001).collect()]
+        _trace("touched: ph_vals collected")
+        if len(ph_vals) <= 10_000:
+            touched_imgs = all_images.filter(F.col("phash").isin(ph_vals))
+        else:
+            touched_imgs = all_images.join(
+                new_images.select("phash").distinct(), "phash",
+                "left_semi")
+        # eager cut — O(touched) keys+caption rows: the slice feeds the
+        # rep-ness lookup's key collect AND the suffix input join, which
+        # otherwise re-scan the corpus metadata once each
+        touched_imgs = (touched_imgs.select("phash", "image_id",
+                                            "caption")
+                        .localCheckpoint())
+        _trace("touched: touched_imgs cut")
+        # rep-ness of the touched slice comes from a pruned id_index
+        # point lookup (is_rep flag), not a corpus scan of the stored
+        # group keys; new reps aren't in id_index yet and union in
+        # explicitly
+        t0 = time.time()
+        touched_lk = lookup_id_index(spark, id_path,
+                                     touched_imgs.select("image_id"),
+                                     cfg, idx_df=id_idx_df)
+        old_touched_reps = touched_lk.filter(F.col("is_rep")) \
+            .select("image_id")
+        if removals:
+            # a group whose founding rep was removed has NO live is_rep
+            # row; its promoted surviving member (rep_remap target)
+            # stands in as the group's suffix-pass node so the group
+            # isn't skipped
+            promoted = touched_lk.join(
+                F.broadcast(remap_df.select(F.col("new_rep")
+                                            .alias("image_id"))),
+                "image_id", "left_semi").select("image_id")
+            old_touched_reps = old_touched_reps.unionByName(promoted) \
+                .distinct()
+        old_touched_reps = old_touched_reps.localCheckpoint()
+        pipe._record("add_lookup_touched_reps", old_touched_reps, t0,
+                     skipped=False)
+        _trace("touched: prefix done")
+        return touched_imgs, old_touched_reps
+
+    ((n_new, n_old, n_dead, n_all), n_clash, (nk, old_keys),
+     touched_prefix_out) = _run_parallel(_chk_counts, _chk_clash,
+                                         _mk_old_keys, _touched_prefix)
+    if n_all != n_old - n_dead + n_new:
         raise ValueError("all_images must be exactly old ∪ new "
                          "(minus removed rows)")
-    # id-clash refusal via the id-keyed layout: O(new) pruned point
-    # lookup, not a corpus scan of stored image_ids
-    t0 = time.time()
-    clash = lookup_id_index(spark, id_path,
-                            new_images.select("image_id"), cfg,
-                            idx_df=id_idx_df)
-    pipe._record("add_lookup_idclash", clash, t0, skipped=False)
-    if pipe.records[-1].rows_out:
+    if n_clash:
         raise ValueError("new_images contains ids already in the build")
 
     staging = pipe._path("_add_staging")
@@ -567,20 +724,9 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
         return out
 
     # -- exact grouping of the new slice (no old bytes touched; the
-    #    membership probe is a pruned point lookup into ck_index — the
-    #    stored corpus' key columns are never scanned) -------------------
-    nk = content_keys(new_images).localCheckpoint()
-    t0 = time.time()
-    old_keys = lookup_ck_index(spark, ck_path, nk.select("ck"), cfg,
-                               idx_df=ck_idx_df)
-    if removals:
-        # a fully-removed exact-group's ck row lingers until compaction;
-        # re-added identical content must read as FRESH, not resurrect
-        # the dead group node
-        old_keys = old_keys.join(F.broadcast(dead_df), "rep_id",
-                                 "left_anti")
-    old_keys = old_keys.localCheckpoint()  # O(new) rows
-    pipe._record("add_lookup_ck", old_keys, t0, skipped=False)
+    #    membership probe was a pruned point lookup into ck_index in
+    #    the parallel setup block above — the stored corpus' key
+    #    columns are never scanned) --------------------------------------
     matched = (nk.join(F.broadcast(old_keys), "ck")
                .select("image_id", "rep_id", "ck"))
     # same skew-immune form as the full build's exact_groups (a bulk
@@ -601,10 +747,6 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
                    .filter(F.col("image_id") == F.col("rep_id"))
                    .select("image_id"))
     to_sketch = new_images.join(new_rep_ids, "image_id", "left_semi")
-    new_sigs = stage("signatures", compute_signatures(to_sketch, cfg))
-
-    # -- band only the new signatures (salting within the slice) ---------
-    new_bands = stage("bands", build_bands(new_sigs, cfg))
 
     # -- candidates: new-vs-new ∪ new-vs-old ∪ touched suffix groups -----
     # Each branch is cut with an eager localCheckpoint before the union:
@@ -615,11 +757,43 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
     # partitions", reproduced at 32 cores / 213k rows).  The cut
     # materializes each (small) pair list independently; localCheckpoint,
     # not persist — the documented plan-cache-over-rewritten-path
-    # pitfall.
-    nn_pairs = emit_bucket_pairs(new_bands).localCheckpoint()
-    no_pairs = probe_pairs_vs_stored(explode_all_bands(new_sigs, cfg),
-                                     old_bands)
-    if removals:
+    # pitfall.  The three branches below (sketch -> banding/probe,
+    # touched-suffix chain, ck_index staging) depend only on
+    # new_groups/to_sketch and run CONCURRENTLY (guide §2.6) — each is
+    # a chain of small jobs, so overlapping them converts serial
+    # per-job latency into one wave; the suffix chain does not need the
+    # new signatures, so it overlaps the decode+sketch stage too.
+    def _br_sig_chain():
+        _trace("sig_chain: start")
+        new_sigs = stage("signatures", compute_signatures(to_sketch, cfg))
+        _trace("sig_chain: signatures staged")
+
+        def bands_nn():
+            df = build_bands(new_sigs, cfg)
+            _trace("sig_chain: band salt stats done")
+            nb = stage("bands", df)
+            _trace("sig_chain: bands staged")
+            nn = emit_bucket_pairs(nb).localCheckpoint()
+            _trace("sig_chain: nn_pairs cut")
+            return nb, nn
+
+        (nb, nn), no_p = _run_parallel(
+            bands_nn, lambda: _probe_old_pairs(new_sigs))
+        return nb, nn, no_p
+
+    def _br_ck_stage():
+        _trace("ck_stage: start")
+        stage_ck_append(new_groups, staging, cfg)
+        _trace("ck_stage: done")
+
+    def _probe_old_pairs(new_sigs):
+        _trace("probe: start")
+        no_pairs = probe_pairs_vs_stored(explode_all_bands(new_sigs, cfg),
+                                         old_bands)
+        if not removals:
+            out = no_pairs.localCheckpoint()
+            _trace("probe: no_pairs cut")
+            return out
         # stored bands stay keyed by founding group nodes until
         # compaction: pairs against a DEAD group's node are content
         # that no longer exists (drop), and pairs against a tombstoned
@@ -646,60 +820,38 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
                     .select(F.least("pa", "pb").alias("a"),
                             F.greatest("pa", "pb").alias("b"), "src")
                     .groupBy("a", "b").agg(F.min("src").alias("src")))
-    no_pairs = no_pairs.localCheckpoint()
-    # touched phash groups: when the touched set is small enough to ship
-    # as literals, push it down as an isin() filter so parquet row-group
-    # stats prune the payload scan (on a phash-sorted / z-ordered
-    # Iceberg table this turns the per-add suffix input read into
-    # O(touched groups) IO); bulk appends past the cap fall back to the
-    # semi join
-    ph_vals = [r[0] for r in to_sketch.select("phash").distinct()
-               .limit(10_001).collect()]
-    if len(ph_vals) <= 10_000:
-        touched_imgs = all_images.filter(F.col("phash").isin(ph_vals))
-    else:
-        touched_imgs = all_images.join(
-            to_sketch.select("phash").distinct(), "phash", "left_semi")
-    touched_imgs = touched_imgs.select("phash", "image_id", "caption")
-    # rep-ness of the touched slice comes from a pruned id_index point
-    # lookup (is_rep flag), not a corpus scan of the stored group keys;
-    # new reps aren't in id_index yet and union in explicitly
-    t0 = time.time()
-    touched_lk = lookup_id_index(spark, id_path,
-                                 touched_imgs.select("image_id"),
-                                 cfg, idx_df=id_idx_df)
-    old_touched_reps = touched_lk.filter(F.col("is_rep")) \
-        .select("image_id")
-    if removals:
-        # a group whose founding rep was removed has NO live is_rep row;
-        # its promoted surviving member (rep_remap target) stands in as
-        # the group's suffix-pass node so the group isn't skipped
-        promoted = touched_lk.join(
-            F.broadcast(remap_df.select(F.col("new_rep")
-                                        .alias("image_id"))),
-            "image_id", "left_semi").select("image_id")
-        old_touched_reps = old_touched_reps.unionByName(promoted) \
-            .distinct()
-    old_touched_reps = old_touched_reps.localCheckpoint()
-    pipe._record("add_lookup_touched_reps", old_touched_reps, t0,
-                 skipped=False)
-    # eager cut before the suffix pass: at bulk append sizes the
-    # rep-ness lookup takes the semi-join fallback and this subtree's
-    # exchanges get reused by both arms of the sfx_new union below —
-    # the documented AQE exchange-reuse zip bug ("Can't zip RDDs with
-    # unequal numbers of partitions", reproduced at a 10% append)
-    touched_reps = (touched_imgs.join(
-        old_touched_reps.unionByName(new_rep_ids), "image_id",
-        "left_semi").localCheckpoint())
-    # sfx feeds BOTH union arms below — cut it first, or the shared
-    # exchange under the two consumers trips the AQE reuse bug
-    sfx = suffix_candidate_pairs(touched_reps).localCheckpoint()
-    sfx_new = (sfx.join(new_rep_ids.withColumnRenamed("image_id", "a"),
-                        "a", "left_semi")
-               .unionByName(
-                   sfx.join(new_rep_ids.withColumnRenamed("image_id", "b"),
-                            "b", "left_semi"))
-               .dropDuplicates(["a", "b"])).localCheckpoint()
+        return no_pairs.localCheckpoint()
+
+    def _br_touched():
+        # prefix results were computed in the early parallel block
+        # (overlapping the setup lookups — the touched-slice selection
+        # only needs the NEW slice's phashes); here only the parts that
+        # need new_rep_ids remain.
+        touched_imgs, old_touched_reps = touched_prefix_out
+        # eager cut before the suffix pass: at bulk append sizes the
+        # rep-ness lookup takes the semi-join fallback and this
+        # subtree's exchanges get reused by both arms of the sfx_new
+        # union below — the documented AQE exchange-reuse zip bug
+        # ("Can't zip RDDs with unequal numbers of partitions",
+        # reproduced at a 10% append)
+        touched_reps = (touched_imgs.join(
+            old_touched_reps.unionByName(new_rep_ids), "image_id",
+            "left_semi").localCheckpoint())
+        _trace("touched: touched_reps cut")
+        # sfx feeds BOTH union arms below — cut it first, or the shared
+        # exchange under the two consumers trips the AQE reuse bug
+        sfx = suffix_candidate_pairs(touched_reps).localCheckpoint()
+        _trace("touched: sfx cut")
+        return (sfx.join(new_rep_ids.withColumnRenamed("image_id", "a"),
+                         "a", "left_semi")
+                .unionByName(
+                    sfx.join(new_rep_ids.withColumnRenamed("image_id",
+                                                           "b"),
+                             "b", "left_semi"))
+                .dropDuplicates(["a", "b"])).localCheckpoint()
+
+    (new_bands, nn_pairs, no_pairs), sfx_new, _ = _run_parallel(
+        _br_sig_chain, _br_touched, _br_ck_stage)
     new_pairs = stage("candidate_pairs",
                       nn_pairs.unionByName(no_pairs).unionByName(sfx_new)
                       .groupBy("a", "b").agg(F.min("src").alias("src")))
@@ -719,12 +871,21 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
                          F.when(F.coalesce("a_new", F.lit(False)),
                                 F.col("b")).otherwise(F.col("a"))))
     w_cap = Window.partitionBy("key").orderBy("other")
+    # eager cut: O(new x cap) keys-only rows.  The capped-pair subtree
+    # (meta joins + window) otherwise evaluates THREE times — once for
+    # attach's auto-strategy id count, once as the candidate-id semi
+    # build side, once as the pair probe side (guide §2.4: duplicated
+    # subtrees in the plan)
     capped = (keyed.withColumn("rn", F.row_number().over(w_cap))
               .filter(F.col("rn") <= cfg.add_max_candidates_per_item)
-              .select("a", "b", "src"))
+              .select("a", "b", "src")).localCheckpoint()
+    # materialize_slim: the candidate payload slice is O(new x cap) ids
+    # out of the whole corpus — one eager cut replaces TWO full payload
+    # scans in the pair-attach plan (guide §8: move heavy bytes once)
     attached = attach_payloads(capped, all_images,
                                strategy=cfg.verify_attach,
-                               broadcast_max_ids=cfg.verify_broadcast_max_ids)
+                               broadcast_max_ids=cfg.verify_broadcast_max_ids,
+                               materialize_slim=True)
     new_edges = stage("verified_edges",
                       verify_pairs(attached, cfg).filter(F.col("dup"))
                       .select("a", "b", "src", "psnr", "caption_eq"))
@@ -874,58 +1035,68 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
              .localCheckpoint())
     pipe._record("add_clusters", delta, t0, skipped=False)
 
-    # -- stage the rewritten clusters partitions (touched buckets only) --
-    t0 = time.time()
-    delta_buckets = {r[0] for r in
-                     delta.select(_pb("cluster_id").alias("pb"))
-                     .distinct().collect()}
-    touched = sorted(set(aff_buckets) | delta_buckets)
-    kept = (clusters_stored.filter(F.col("pbucket").isin(touched))
-            .join(F.broadcast(aff_cl.select("cluster_id")),
-                  "cluster_id", "left_anti")
-            .select("image_id", "cluster_id"))
-    (kept.unionByName(delta.select("image_id", "cluster_id"))
-     .withColumn("pbucket", _pb("cluster_id"))
-     .repartition(max(len(touched), 1), F.col("pbucket"))
-     .write.mode("overwrite").partitionBy("pbucket")
-     .parquet(f"{staging}/clusters"))
-    staged_clusters = spark.read.parquet(f"{staging}/clusters")
-    pipe._record("add_clusters_rewrite", staged_clusters, t0,
-                 skipped=False)
-    present = {r[0] for r in staged_clusters.select("pbucket")
-               .distinct().collect()}
-    # a touched bucket with no staged rows (all its clusters merged away
-    # into other buckets) must be DELETED at commit, not left stale
-    swap = {str(p): bool(p in present) for p in touched}
-
-    # -- stage the key-index deltas: brand-new (ck, rep_id) rows and the
-    #    re-labelled/new member rows at the next id_index generation
-    #    (LSM append, latest-gen-wins — no stored index rows are read or
-    #    rewritten) -----------------------------------------------------
-    t0 = time.time()
-    stage_ck_append(new_groups, staging, cfg)
+    # -- stage the rewritten clusters partitions (touched buckets only)
+    #    and the two remaining key-index deltas (ck_index was staged in
+    #    the parallel candidate block) — three independent staging
+    #    writes, run CONCURRENTLY (guide §2.6) ------------------------
     gen_file = os.path.join(checkpoint_dir, ID_GEN_FILE)
     new_gen = (int(pipe.fs.read_text(gen_file))
                if pipe.fs.exists(gen_file) else 0) + 1
-    stage_id_append(delta, new_gen, staging, cfg)
-    # dedup-graph edge delta for the remove path's split recomputation:
-    # endpoints translated to their FOUNDING group nodes (old endpoints
-    # via the ep_info point lookup, new reps are their own founding
-    # node), canonical a < b, intra-group self-loops dropped
-    ef_a = ep_info.select(F.col("image_id").alias("a"),
-                          F.col("rep_id").alias("fa"))
-    ef_b = ep_info.select(F.col("image_id").alias("b"),
-                          F.col("rep_id").alias("fb"))
-    fedges = (new_edges.select("a", "b")
-              .join(F.broadcast(ef_a), "a", "left")
-              .join(F.broadcast(ef_b), "b", "left")
-              .select(F.coalesce("fa", F.col("a")).alias("na"),
-                      F.coalesce("fb", F.col("b")).alias("nb"))
-              .filter(F.col("na") != F.col("nb"))
-              .select(F.least("na", "nb").alias("a"),
-                      F.greatest("na", "nb").alias("b"))
-              .distinct())
-    stage_edge_append(fedges, staging, cfg)
+
+    def _c_clusters():
+        t0 = time.time()
+        delta_buckets = {r[0] for r in
+                         delta.select(_pb("cluster_id").alias("pb"))
+                         .distinct().collect()}
+        touched = sorted(set(aff_buckets) | delta_buckets)
+        kept = (clusters_stored.filter(F.col("pbucket").isin(touched))
+                .join(F.broadcast(aff_cl.select("cluster_id")),
+                      "cluster_id", "left_anti")
+                .select("image_id", "cluster_id"))
+        (kept.unionByName(delta.select("image_id", "cluster_id"))
+         .withColumn("pbucket", _pb("cluster_id"))
+         .repartition(max(len(touched), 1), F.col("pbucket"))
+         .write.mode("overwrite").partitionBy("pbucket")
+         .parquet(f"{staging}/clusters"))
+        staged_clusters = spark.read.parquet(f"{staging}/clusters")
+        pipe._record("add_clusters_rewrite", staged_clusters, t0,
+                     skipped=False)
+        present = {r[0] for r in staged_clusters.select("pbucket")
+                   .distinct().collect()}
+        # a touched bucket with no staged rows (all its clusters merged
+        # away into other buckets) must be DELETED at commit, not stale
+        return {str(p): bool(p in present) for p in touched}
+
+    # key-index deltas: brand-new (ck, rep_id) rows were staged in the
+    # candidate block; the re-labelled/new member rows stage at the next
+    # id_index generation (LSM append, latest-gen-wins — no stored index
+    # rows are read or rewritten)
+    def _c_id():
+        stage_id_append(delta, new_gen, staging, cfg)
+
+    def _c_edge():
+        # dedup-graph edge delta for the remove path's split
+        # recomputation: endpoints translated to their FOUNDING group
+        # nodes (old endpoints via the ep_info point lookup, new reps
+        # are their own founding node), canonical a < b, intra-group
+        # self-loops dropped
+        ef_a = ep_info.select(F.col("image_id").alias("a"),
+                              F.col("rep_id").alias("fa"))
+        ef_b = ep_info.select(F.col("image_id").alias("b"),
+                              F.col("rep_id").alias("fb"))
+        fedges = (new_edges.select("a", "b")
+                  .join(F.broadcast(ef_a), "a", "left")
+                  .join(F.broadcast(ef_b), "b", "left")
+                  .select(F.coalesce("fa", F.col("a")).alias("na"),
+                          F.coalesce("fb", F.col("b")).alias("nb"))
+                  .filter(F.col("na") != F.col("nb"))
+                  .select(F.least("na", "nb").alias("a"),
+                          F.greatest("na", "nb").alias("b"))
+                  .distinct())
+        stage_edge_append(fedges, staging, cfg)
+
+    t0 = time.time()
+    swap, _, _ = _run_parallel(_c_clusters, _c_id, _c_edge)
     pipe._record("add_index_delta",
                  spark.read.parquet(f"{staging}/id_index"), t0,
                  skipped=False)
@@ -962,16 +1133,18 @@ def _apply_add_commit(fs: CheckpointFS, root: str, manifest: dict) -> None:
     re-run skips them), and a clusters partition swap re-runs only while
     its staged dir still exists."""
     staging = manifest["staging"]
-    for name in manifest["append_stages"]:
+
+    def _move_flat(name: str) -> None:
         src = f"{staging}/{name}"
         if fs.exists(src):
             fs.move_children(src, f"{root}/{name}")
             fs.delete(src)
+
     # hive-partitioned appends (ck_index/id_index): move each staged
     # partition dir's files into the live partition dir, then drop the
     # staged dir so a crashed re-run skips it (same idempotence contract
     # as the flat appends above)
-    for name in manifest.get("partitioned_appends", []):
+    def _move_partitioned(name: str) -> None:
         src = f"{staging}/{name}"
         if fs.exists(src):
             for child in fs.list_children(src):
@@ -981,6 +1154,15 @@ def _apply_add_commit(fs: CheckpointFS, root: str, manifest: dict) -> None:
                 fs.move_children(child, f"{root}/{name}/{cname}")
                 fs.delete(child)
             fs.delete(src)
+
+    # tables are independent and each move is idempotent, so the
+    # per-table rename loops (hundreds of FS metadata calls for the
+    # key_buckets-partitioned sidecars) run concurrently; a crash
+    # mid-commit recovers exactly as before, table by table
+    _run_parallel(*[(lambda n=n: _move_flat(n))
+                    for n in manifest["append_stages"]],
+                  *[(lambda n=n: _move_partitioned(n))
+                    for n in manifest.get("partitioned_appends", [])])
     if "id_index_gen" in manifest:
         fs.write_text(f"{root}/{ID_GEN_FILE}",
                       str(manifest["id_index_gen"]))

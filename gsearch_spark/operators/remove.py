@@ -174,27 +174,39 @@ def _remove_locked(spark: SparkSession, cfg: PipelineConfig,
     id_idx_df = spark.read.parquet(id_path)
     clusters_stored = spark.read.parquet(pipe._path("clusters"))
 
+    from gsearch_spark.operators.pipeline import _run_parallel
     rm = remove_ids.select("image_id").distinct().localCheckpoint()
     n_rm = rm.count()
     if n_rm == 0:
         return clusters_stored.select("image_id", "cluster_id")
 
-    # -- resolve + refuse: every id must exist and not be removed already
-    t0 = time.time()
-    info = lookup_id_index(spark, id_path, rm, cfg,
-                           idx_df=id_idx_df).localCheckpoint()
-    pipe._record("rm_lookup_ids", info, t0, skipped=False)
-    if pipe.records[-1].rows_out != n_rm:
+    # -- resolve + refuse: every id must exist and not be removed
+    #    already.  The two refusal probes are independent small jobs and
+    #    run concurrently (guide §2.6)
+    def _lk_info():
+        t0 = time.time()
+        info = lookup_id_index(spark, id_path, rm, cfg,
+                               idx_df=id_idx_df).localCheckpoint()
+        pipe._record("rm_lookup_ids", info, t0, skipped=False)
+        return info, next(r for r in pipe.records
+                          if r.stage == "rm_lookup_ids").rows_out
+
+    def _chk_already():
+        already = rm.join(read_tombstones(spark, checkpoint_dir),
+                          "image_id", "left_semi")
+        return None if already.isEmpty() else \
+            [r[0] for r in already.limit(5).collect()]
+
+    (info, n_info), already_ids = _run_parallel(_lk_info, _chk_already)
+    if n_info != n_rm:
         missing = rm.join(info.select("image_id"), "image_id", "left_anti")
         raise ValueError(
             "remove_images: unknown image_ids (not in this build), e.g. "
             f"{[r[0] for r in missing.limit(5).collect()]}")
-    already = rm.join(read_tombstones(spark, checkpoint_dir),
-                      "image_id", "left_semi")
-    if not already.isEmpty():
+    if already_ids is not None:
         raise ValueError(
             "remove_images: ids already removed, e.g. "
-            f"{[r[0] for r in already.limit(5).collect()]}")
+            f"{already_ids}")
 
     # -- affected clusters: members read under pbucket pruning ----------
     def _pb(col: str) -> "F.Column":
@@ -262,60 +274,76 @@ def _remove_locked(spark: SparkSession, cfg: PipelineConfig,
              .select("image_id", "cluster_id").localCheckpoint())
     pipe._record("rm_clusters", delta, t0, skipped=False)
 
-    # -- stage every delta, then the shared manifest commit --------------
+    # -- stage every delta, then the shared manifest commit.  The four
+    #    staging writes (clusters rewrite, id_index delta, tombstones,
+    #    dead-group/remap sidecars) are independent and run CONCURRENTLY
+    #    (guide §2.6) ----------------------------------------------------
     staging = pipe._path("_add_staging")
     pipe.fs.delete(staging)
-    t0 = time.time()
-    delta_buckets = {r[0] for r in
-                     delta.select(_pb("cluster_id").alias("pb"))
-                     .distinct().collect()}
-    touched = sorted(set(aff_buckets) | delta_buckets)
-    kept = (clusters_stored.filter(F.col("pbucket").isin(touched))
-            .join(F.broadcast(aff), "cluster_id", "left_anti")
-            .select("image_id", "cluster_id"))
-    (kept.unionByName(delta)
-     .withColumn("pbucket", _pb("cluster_id"))
-     .repartition(max(len(touched), 1), F.col("pbucket"))
-     .write.mode("overwrite").partitionBy("pbucket")
-     .parquet(f"{staging}/clusters"))
-    # explicit schema: a remove that kills every cluster in its touched
-    # buckets stages an EMPTY dir, which inference cannot read
-    staged_clusters = (spark.read
-                       .schema("image_id string, cluster_id string, "
-                               "pbucket int")
-                       .parquet(f"{staging}/clusters"))
-    pipe._record("rm_clusters_rewrite", staged_clusters, t0, skipped=False)
-    present = {r[0] for r in staged_clusters.select("pbucket")
-               .distinct().collect()}
-    swap = {str(p): bool(p in present) for p in touched}
-
     gen_file = os.path.join(checkpoint_dir, ID_GEN_FILE)
     new_gen = (int(pipe.fs.read_text(gen_file))
                if pipe.fs.exists(gen_file) else 0) + 1
-    # id_index delta: survivors at their new label; removed ids at a
-    # NULL label (the dead marker — membership/tombstone-ness lives in
-    # the tombstones table, label resolution of a removed id is null)
-    null_s = F.lit(None).cast("string")
-    id_delta = (delta
-                .withColumn("is_rep", F.lit(False))
-                .withColumn("rep_id", null_s)
-                .unionByName(rm.select("image_id",
-                                       null_s.alias("cluster_id"),
-                                       F.lit(False).alias("is_rep"),
-                                       null_s.alias("rep_id"))))
-    stage_id_append(id_delta, new_gen, staging, cfg)
-    (rm.withColumn("gen", F.lit(new_gen))
-     .withColumn("tb", F.pmod(F.xxhash64("image_id"),
-                              F.lit(cfg.key_buckets)).cast("int"))
-     .repartition(1)
-     .write.mode("overwrite").partitionBy("tb")
-     .parquet(f"{staging}/{TOMBSTONES}"))
-    if not gone_groups.isEmpty():
-        (gone_groups.withColumn("gen", F.lit(new_gen)).repartition(1)
-         .write.mode("overwrite").parquet(f"{staging}/{DEAD_GROUPS}"))
-    if not remap_delta.isEmpty():
-        (remap_delta.withColumn("gen", F.lit(new_gen)).repartition(1)
-         .write.mode("overwrite").parquet(f"{staging}/{REP_REMAP}"))
+
+    def _st_clusters():
+        t0 = time.time()
+        delta_buckets = {r[0] for r in
+                         delta.select(_pb("cluster_id").alias("pb"))
+                         .distinct().collect()}
+        touched = sorted(set(aff_buckets) | delta_buckets)
+        kept = (clusters_stored.filter(F.col("pbucket").isin(touched))
+                .join(F.broadcast(aff), "cluster_id", "left_anti")
+                .select("image_id", "cluster_id"))
+        (kept.unionByName(delta)
+         .withColumn("pbucket", _pb("cluster_id"))
+         .repartition(max(len(touched), 1), F.col("pbucket"))
+         .write.mode("overwrite").partitionBy("pbucket")
+         .parquet(f"{staging}/clusters"))
+        # explicit schema: a remove that kills every cluster in its
+        # touched buckets stages an EMPTY dir, which inference cannot
+        # read
+        staged_clusters = (spark.read
+                           .schema("image_id string, cluster_id string, "
+                                   "pbucket int")
+                           .parquet(f"{staging}/clusters"))
+        pipe._record("rm_clusters_rewrite", staged_clusters, t0,
+                     skipped=False)
+        present = {r[0] for r in staged_clusters.select("pbucket")
+                   .distinct().collect()}
+        return {str(p): bool(p in present) for p in touched}
+
+    def _st_id():
+        # id_index delta: survivors at their new label; removed ids at
+        # a NULL label (the dead marker — membership/tombstone-ness
+        # lives in the tombstones table, label resolution of a removed
+        # id is null)
+        null_s = F.lit(None).cast("string")
+        id_delta = (delta
+                    .withColumn("is_rep", F.lit(False))
+                    .withColumn("rep_id", null_s)
+                    .unionByName(rm.select("image_id",
+                                           null_s.alias("cluster_id"),
+                                           F.lit(False).alias("is_rep"),
+                                           null_s.alias("rep_id"))))
+        stage_id_append(id_delta, new_gen, staging, cfg)
+
+    def _st_tomb():
+        (rm.withColumn("gen", F.lit(new_gen))
+         .withColumn("tb", F.pmod(F.xxhash64("image_id"),
+                                  F.lit(cfg.key_buckets)).cast("int"))
+         .repartition(1)
+         .write.mode("overwrite").partitionBy("tb")
+         .parquet(f"{staging}/{TOMBSTONES}"))
+
+    def _st_sidecars():
+        if not gone_groups.isEmpty():
+            (gone_groups.withColumn("gen", F.lit(new_gen)).repartition(1)
+             .write.mode("overwrite").parquet(f"{staging}/{DEAD_GROUPS}"))
+        if not remap_delta.isEmpty():
+            (remap_delta.withColumn("gen", F.lit(new_gen)).repartition(1)
+             .write.mode("overwrite").parquet(f"{staging}/{REP_REMAP}"))
+
+    swap, _, _, _ = _run_parallel(_st_clusters, _st_id, _st_tomb,
+                                  _st_sidecars)
 
     manifest = {"version": 2, "staging": staging,
                 "append_stages": [DEAD_GROUPS, REP_REMAP],

@@ -144,6 +144,57 @@ def containment_pairs_in_group(captions: "list[str]",
     return out
 
 
+# direct-substring fast path bound: below this many distinct captions a
+# group's containment pairs come from O(n^2) C-level ``in`` checks —
+# for the typical 2-6 caption group this is tens of microseconds, vs
+# ~2 ms for the pandas + suffix-array machinery (measured 4.3 s of pure
+# per-group overhead across 1,942 eligible groups at bench scale).  The
+# suffix array keeps the big-group O(n log^2 n) guarantee.
+_DIRECT_MAX = 128
+
+
+def _pairs_for_group(norm_caps: "list[str]", owner_ids: "list[str]",
+                     cap: int = _GROUP_CAPTION_CAP
+                     ) -> "list[tuple[str, str]]":
+    """Containment pairs for ONE phash group from (python-normalized
+    caption, owner id) rows: dedup captions to their min owner, sort,
+    then direct-substring (small groups) or suffix-array (large) search;
+    groups past ``cap`` distinct captions keep the star-edge tail
+    policy.  Pure function shared by the pandas wrapper below and the
+    packed mapInPandas path of :func:`suffix_candidate_pairs` — the
+    emitted pair SET is identical to the round-5 per-group pandas form.
+    """
+    best: "dict[str, str]" = {}
+    for c, o in zip(norm_caps, owner_ids):
+        if c and (c not in best or o < best[c]):
+            best[c] = o
+    if len(best) < 2:
+        return []
+    items = sorted(best.items())
+    captions = [c for c, _ in items][:cap]
+    owners = [o for _, o in items][:cap]
+    if len(captions) <= _DIRECT_MAX:
+        # distinct captions => containment is automatically strict
+        pairs = []
+        for i, ci in enumerate(captions):
+            for j, cj in enumerate(captions):
+                if i != j and ci in cj:
+                    a, b = owners[i], owners[j]
+                    pairs.append((a, b) if a < b else (b, a))
+    else:
+        pairs = containment_pairs_in_group(captions, owners)
+    if len(items) > cap:
+        import logging
+        logging.getLogger(__name__).warning(
+            "suffix pass: phash group with %d distinct captions exceeds "
+            "cap %d; emitting star edges for the tail", len(items), cap)
+        hubs = sorted(owners)[:2]
+        for _, t in items[cap:]:
+            for h in hubs:
+                pairs.append((h, t) if h < t else (t, h))
+    return pairs
+
+
 def group_containment_pairs(pdf: pd.DataFrame,
                             cap: int = _GROUP_CAPTION_CAP) -> pd.DataFrame:
     """One phash group -> suffix candidate pairs (a, b, src).
@@ -155,30 +206,11 @@ def group_containment_pairs(pdf: pd.DataFrame,
     rule, so the extra candidates cost one check each and lose nothing;
     the truncation is logged, never silent.
     """
-    normed = pdf["caption"].fillna("").map(normalize_caption)
-    mask = normed.str.len() > 0
-    empty = pd.DataFrame({"a": [], "b": [], "src": []})
-    if mask.sum() < 2:
-        return empty
-    sub = pd.DataFrame({"caption": normed[mask].to_numpy(),
-                        "image_id": pdf.loc[mask, "image_id"].to_numpy()})
-    reps = sub.groupby("caption", sort=True)["image_id"].min()
-    if len(reps) < 2:
-        return empty
-    captions = list(reps.index[:cap])
-    owners = list(reps.to_numpy()[:cap])
-    pairs = containment_pairs_in_group(captions, owners)
-    if len(reps) > cap:
-        import logging
-        logging.getLogger(__name__).warning(
-            "suffix pass: phash group with %d distinct captions exceeds "
-            "cap %d; emitting star edges for the tail", len(reps), cap)
-        hubs = sorted(owners)[:2]
-        for t in reps.to_numpy()[cap:]:
-            for h in hubs:
-                pairs.append((h, t) if h < t else (t, h))
+    normed = [normalize_caption(c)
+              for c in pdf["caption"].fillna("").tolist()]
+    pairs = _pairs_for_group(normed, pdf["image_id"].tolist(), cap)
     if not pairs:
-        return empty
+        return pd.DataFrame({"a": [], "b": [], "src": []})
     a, b = zip(*sorted(set(pairs)))
     return pd.DataFrame({"a": list(a), "b": list(b), "src": "suffix"})
 
@@ -193,10 +225,32 @@ def suffix_candidate_pairs(images: DataFrame) -> DataFrame:
     The JVM normalization (``\\s`` is ASCII-only) collapses no more than
     the Python one (Unicode ``\\s+``), so the prefilter can only
     over-keep, never drop an eligible group.
-    """
 
-    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        return group_containment_pairs(pdf, cap=_GROUP_CAPTION_CAP)
+    Execution shape (changed for guide §4.1: the per-group
+    ``applyInPandas`` form paid ~3-4 ms of Arrow/pandas conversion PER
+    GROUP — 7-9 s across ~2k two-caption groups at bench scale, pure
+    overhead): rows first dedup JVM-side to one (phash, caption,
+    min image_id) row per raw caption (identical raw captions can only
+    share a normalized form, so min-over-raw feeds min-over-normalized
+    unchanged), groups pack into one array-of-structs row each
+    (bounded: distinct captions per group, the same rows the old form
+    shipped), and ONE ``mapInPandas`` walks many groups per Arrow
+    batch.  Emitted pair set is bit-identical (pinned by the suffix
+    tests and the candidate_pairs oracle)."""
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out_a: "list[str]" = []
+            out_b: "list[str]" = []
+            for grp in pdf["rows"]:
+                norm = [normalize_caption(e["caption"]) for e in grp]
+                ids = [e["image_id"] for e in grp]
+                for a, b in _pairs_for_group(norm, ids,
+                                             _GROUP_CAPTION_CAP):
+                    out_a.append(a)
+                    out_b.append(b)
+            yield pd.DataFrame({"a": out_a, "b": out_b,
+                                "src": ["suffix"] * len(out_a)})
 
     ncap = F.lower(F.regexp_replace(F.trim(F.col("caption")), r"\s+", " "))
     docs = (images.select("phash", "image_id", "caption")
@@ -206,8 +260,12 @@ def suffix_candidate_pairs(images: DataFrame) -> DataFrame:
                 .agg(F.count_distinct("ncap").alias("nc"))
                 .filter(F.col("nc") >= 2)
                 .select("phash"))
-    return (docs.join(eligible, "phash")
-            .select("phash", "image_id", "caption")
-            .groupBy("phash")
-            .applyInPandas(per_group, schema=PAIRS_SCHEMA)
+    packed = (docs.join(eligible, "phash")
+              .groupBy("phash", "caption")
+              .agg(F.min("image_id").alias("image_id"))
+              .groupBy("phash")
+              .agg(F.collect_list(F.struct("caption", "image_id"))
+                   .alias("rows")))
+    return (packed.select("rows")
+            .mapInPandas(run, schema=PAIRS_SCHEMA)
             .dropDuplicates(["a", "b"]))

@@ -80,7 +80,8 @@ def prefilter_pairs(pairs: DataFrame, images: DataFrame,
 
 def attach_payloads(pairs: DataFrame, images: DataFrame,
                     strategy: str = "auto",
-                    broadcast_max_ids: int = 5_000_000) -> DataFrame:
+                    broadcast_max_ids: int = 5_000_000,
+                    materialize_slim: bool = False) -> DataFrame:
     """pairs (a,b,src) + images -> one row per pair with both payloads.
 
     ``bytes`` is the expensive column; a left-semi prefilter restricts the
@@ -94,6 +95,15 @@ def attach_payloads(pairs: DataFrame, images: DataFrame,
     over the checkpointed pairs) and falls back to a SHUFFLE-HASH semi
     join above ``broadcast_max_ids``; the shuffle path shuffles the
     payload table once on image_id, which is bounded and spillable.
+
+    ``materialize_slim``: both payload joins below consume ``slim``, so
+    the plan otherwise scans the full payload table TWICE.  When the
+    candidate id set is known-small (the append path: O(new x cap) ids
+    out of the whole corpus), an eager ``localCheckpoint`` of the slim
+    slice pays one scan and serves both joins from memory — the guide
+    §8 rule (move heavy bytes once).  Left off for the full build,
+    where slim is corpus-sized and the copy would cost more than the
+    second scan.
     """
     cand_ids = (pairs.select(F.col("a").alias("image_id"))
                 .union(pairs.select(F.col("b").alias("image_id")))
@@ -113,6 +123,8 @@ def attach_payloads(pairs: DataFrame, images: DataFrame,
         semi = cand_ids.hint("shuffle_hash")
     slim = images.join(semi, "image_id", "left_semi") \
                  .select("image_id", "bytes", "caption")
+    if materialize_slim:
+        slim = slim.localCheckpoint()
     left = slim.select(F.col("image_id").alias("a"),
                        F.col("bytes").alias("bytes_a"),
                        F.col("caption").alias("caption_a"))
@@ -139,11 +151,14 @@ def verify_pairs(pairs_with_payloads: DataFrame,
     MEMO_MAX = 1024
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # ONE memo per task, not per batch (guide §4.5): pairs arrive
+        # sorted by (a, b), so a star rep whose fan-out spans several
+        # Arrow batches decodes once per task instead of once per batch
+        dec: "dict[object, np.ndarray]" = {}
         for pdf in batches:
             n = len(pdf)
             if n == 0:
                 continue
-            dec: "dict[object, np.ndarray]" = {}
 
             def decode_memo(iid, raw):
                 arr = dec.get(iid)
@@ -200,10 +215,19 @@ def verify_pairs(pairs_with_payloads: DataFrame,
 def verified_edges(pairs: DataFrame, images: DataFrame,
                    cfg: PipelineConfig) -> DataFrame:
     """Full verify stage: metadata prefilter (phase 1, JVM) -> payload
-    attach -> pixel/caption verify (phase 2, Arrow); keep dup edges."""
+    attach -> pixel/caption verify (phase 2, Arrow); keep dup edges.
+
+    The prefiltered pair list is cut eagerly: it feeds the attach
+    strategy's id count, the candidate-id semi join AND the pair probe
+    side — three evaluations of the same meta-join subtree without the
+    cut (guide §2.4 duplicated subtrees).  It is keys-only rows of the
+    same magnitude as the candidate_pairs checkpoint (star-capped, so
+    O(n x bands) even at 10^12 rows — the stage already materializes
+    that table to parquet)."""
     plausible = prefilter_pairs(pairs, images,
                                 cfg.prefilter_max_phash_hamming,
-                                cfg.prefilter_max_phash_hamming_phash_src)
+                                cfg.prefilter_max_phash_hamming_phash_src
+                                ).localCheckpoint()
     attached = attach_payloads(plausible, images,
                                strategy=cfg.verify_attach,
                                broadcast_max_ids=cfg.verify_broadcast_max_ids)

@@ -53,6 +53,14 @@ def get_spark(app: str = "gsearch_spark", cores: int | None = None,
         .config("spark.sql.files.maxPartitionBytes",
                 os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES",
                                str(128 * 1024 * 1024)))
+        # parallelism FLOOR on scans (guide §6: files.minPartitionNum).
+        # Mid-size tables (a 45 MB bands checkpoint, a 130 MB signatures
+        # checkpoint) otherwise pack into 1-4 splits and run whole
+        # stages on a handful of cores; the floor is derived from the
+        # core count, not a constant, so it scales with the cluster
+        .config("spark.sql.files.minPartitionNum",
+                os.environ.get("SPARK_GRAFT_MIN_PARTITION_NUM",
+                               str(cores)))
         # tmpfs-backed shuffle dirs (scaling bench) don't benefit from
         # compression: it spends scaling-neutral CPU to save RAM-speed IO
         .config("spark.shuffle.compress",
