@@ -63,9 +63,14 @@ def band_src() -> "F.Column":
 def emit_bucket_pairs(bands_df: DataFrame,
                       all_pairs_max: int = ALL_PAIRS_MAX) -> DataFrame:
     """bands -> deduplicated candidate pairs with source tags (pure JVM)."""
+    # collect_list, not collect_set: the bands table carries one row per
+    # (band_id, image_id), so a (band, hash, salt) bucket can never hold
+    # the same image twice — sort_array(list) == sort_array(set), and
+    # the list buffer skips the per-element hash-set work (measured
+    # ~0.5 s at 5.7M band rows)
     grouped = (bands_df
                .groupBy("band_id", "band_hash", "salt")
-               .agg(F.sort_array(F.collect_set("image_id")).alias("ids"))
+               .agg(F.sort_array(F.collect_list("image_id")).alias("ids"))
                .filter(F.size("ids") >= 2))
     pairs = (grouped
              .select("band_id",
