@@ -95,6 +95,26 @@ def _run_parallel(*thunks):
         return [f.result() for f in futs]
 
 
+def _spawn(thunk):
+    """Start ONE job chain on a side thread and return its Future —
+    the overlap primitive behind :func:`_run_parallel` when the caller
+    needs to keep doing its own Spark work on the main thread while the
+    side chain runs (e.g. the build's suffix pass overlapping the
+    decode-bound signatures stage).  The caller must ``.result()`` the
+    future (which re-raises any exception) before depending on its
+    output; the single-thread pool shuts down with the future."""
+    from concurrent.futures import ThreadPoolExecutor
+    from pyspark import inheritable_thread_target
+    from pyspark.sql import SparkSession
+    session = SparkSession.getActiveSession()
+    wrap = (inheritable_thread_target(session) if session is not None
+            else inheritable_thread_target)
+    pool = ThreadPoolExecutor(max_workers=1)
+    fut = pool.submit(wrap(thunk))
+    pool.shutdown(wait=False)
+    return fut
+
+
 def _pid_alive(pid: int) -> bool:
     try:
         os.kill(int(pid), 0)
@@ -286,7 +306,21 @@ class NearDupPipeline:
         if self.records[-1].rows_out != n_images:
             raise RuntimeError("exact_groups row count != image count")
         images_rep = representatives(images, groups)
-        n_reps = images_rep.count()
+        # rep count from the (keys-only, checkpointed) groups table — the
+        # same number as images_rep.count() by construction (rep_id =
+        # min image_id of its group, always a row of images) without
+        # paying the images⋈reps semi-join a count over images_rep runs
+        n_reps = groups.filter(F.col("image_id") == F.col("rep_id")).count()
+
+        # the suffix pass consumes only images_rep (captions + phash) —
+        # no signatures, no bands — so it overlaps the decode-bound
+        # signatures stage and the bands stage on a side thread
+        # (guide §2.6) instead of serializing inside candidate_pairs.
+        # Only started when candidate_pairs will actually be computed.
+        sfx_future = None
+        if not (resume and self._done("candidate_pairs")):
+            sfx_future = _spawn(
+                lambda: suffix_candidate_pairs(images_rep).localCheckpoint())
 
         # -- stage 1: signatures (representatives only) --------------------
         t0 = time.time()
@@ -315,25 +349,31 @@ class NearDupPipeline:
             bands = self._record("bands", bands, t0, skipped=False)
 
         # -- stage 3: candidate pairs (LSH buckets ∪ suffix pass) ----------
+        stats_future = None
         t0 = time.time()
         if resume and self._done("candidate_pairs"):
             pairs = self.spark.read.parquet(self._path("candidate_pairs"))
             pairs = self._record("candidate_pairs", pairs, t0, skipped=True)
         else:
             lsh_pairs = emit_bucket_pairs(bands)
-            sfx_pairs = suffix_candidate_pairs(images_rep)
+            sfx_pairs = sfx_future.result()  # overlapped since stage 1
             # min(src) dedup => deterministic winner per pair
             pairs = (lsh_pairs.unionByName(sfx_pairs)
                      .groupBy("a", "b")
                      .agg(F.min("src").alias("src")))
             pairs = self._write_stage("candidate_pairs", pairs)
             pairs = self._record("candidate_pairs", pairs, t0, skipped=False)
-            # no silent caps: surface bucket policy stats in the log
-            stats = bucket_stats(bands).collect()[0].asDict()
-            self.fs.write_text(
-                os.path.join(self.dir, "bucket_stats.json"),
-                json.dumps({k: (float(v) if v is not None else None)
-                            for k, v in stats.items()}))
+            # no silent caps: surface bucket policy stats in the log.
+            # The stats aggregation is observability-only (nothing
+            # downstream reads it), so it runs on a side thread under
+            # the verify stage and is joined before the final flush.
+            def _stats():
+                stats = bucket_stats(bands).collect()[0].asDict()
+                self.fs.write_text(
+                    os.path.join(self.dir, "bucket_stats.json"),
+                    json.dumps({k: (float(v) if v is not None else None)
+                                for k, v in stats.items()}))
+            stats_future = _spawn(_stats)
 
         # -- stage 4: verified edges --------------------------------------
         t0 = time.time()
@@ -341,9 +381,14 @@ class NearDupPipeline:
             edges = self.spark.read.parquet(self._path("verified_edges"))
             edges = self._record("verified_edges", edges, t0, skipped=True)
         else:
+            # the candidate_pairs stage record bounds the pair count, so
+            # the attach strategy resolves WITHOUT the auto id-count job
+            n_pairs = next(r.rows_out for r in reversed(self.records)
+                           if r.stage == "candidate_pairs")
             edges = self._write_stage("verified_edges",
                                       verified_edges(pairs, images_rep,
-                                                     self.cfg))
+                                                     self.cfg,
+                                                     n_pairs_hint=n_pairs))
             edges = self._record("verified_edges", edges, t0, skipped=False)
 
         # -- stage 5: clusters (small-star / large-star CC over reps,
@@ -401,35 +446,50 @@ class NearDupPipeline:
         #    O(probed keys) IO instead of scanning corpus-sized key
         #    columns (reference: add addresses its persisted index by
         #    rank, never rescans it — src/dna/dnasketch.rs:106-134) -----
-        from gsearch_spark.operators.keyidx import (write_ck_index,
+        from gsearch_spark.operators.keyidx import (read_edge_index,
+                                                    write_ck_index,
                                                     write_edge_index,
                                                     write_id_index)
-        t0 = time.time()
-        if resume and self._done("ck_index"):
-            ck_idx = self.spark.read.parquet(self._path("ck_index"))
-            self._record("ck_index", ck_idx, t0, skipped=True)
-        else:
-            write_ck_index(groups, self._path("ck_index"), self.cfg)
-            ck_idx = self.spark.read.parquet(self._path("ck_index"))
-            self._record("ck_index", ck_idx, t0, skipped=False)
-        t0 = time.time()
-        if resume and self._done("id_index"):
-            id_idx = self.spark.read.parquet(self._path("id_index"))
-            self._record("id_index", id_idx, t0, skipped=True)
-        else:
-            write_id_index(clusters, groups, self._path("id_index"),
-                           self.cfg)
-            id_idx = self.spark.read.parquet(self._path("id_index"))
-            self._record("id_index", id_idx, t0, skipped=False)
-        from gsearch_spark.operators.keyidx import read_edge_index
-        t0 = time.time()
-        if resume and self._done("edge_index"):
-            eg_idx = read_edge_index(self.spark, self._path("edge_index"))
-            self._record("edge_index", eg_idx, t0, skipped=True)
-        else:
-            write_edge_index(edges, self._path("edge_index"), self.cfg)
-            eg_idx = read_edge_index(self.spark, self._path("edge_index"))
-            self._record("edge_index", eg_idx, t0, skipped=False)
+
+        # the three sidecar layouts depend only on already-checkpointed
+        # stages (groups / clusters / edges), never on each other — each
+        # is a small repartition+partitioned-write job whose latency, not
+        # volume, dominates at this size, so they run CONCURRENTLY
+        # (guide §2.6; measured 3.3 s sequential -> ~1.4 s overlapped)
+        def _w_ck():
+            t0 = time.time()
+            if resume and self._done("ck_index"):
+                df = self.spark.read.parquet(self._path("ck_index"))
+                self._record("ck_index", df, t0, skipped=True)
+            else:
+                write_ck_index(groups, self._path("ck_index"), self.cfg)
+                df = self.spark.read.parquet(self._path("ck_index"))
+                self._record("ck_index", df, t0, skipped=False)
+
+        def _w_id():
+            t0 = time.time()
+            if resume and self._done("id_index"):
+                df = self.spark.read.parquet(self._path("id_index"))
+                self._record("id_index", df, t0, skipped=True)
+            else:
+                write_id_index(clusters, groups, self._path("id_index"),
+                               self.cfg)
+                df = self.spark.read.parquet(self._path("id_index"))
+                self._record("id_index", df, t0, skipped=False)
+
+        def _w_edge():
+            t0 = time.time()
+            if resume and self._done("edge_index"):
+                df = read_edge_index(self.spark, self._path("edge_index"))
+                self._record("edge_index", df, t0, skipped=True)
+            else:
+                write_edge_index(edges, self._path("edge_index"), self.cfg)
+                df = read_edge_index(self.spark, self._path("edge_index"))
+                self._record("edge_index", df, t0, skipped=False)
+
+        _run_parallel(_w_ck, _w_id, _w_edge)
+        if stats_future is not None:
+            stats_future.result()
         gen_path = os.path.join(self.dir, ID_GEN_FILE)
         if not self.fs.exists(gen_path):
             self.fs.write_text(gen_path, "0")
@@ -562,17 +622,6 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
     from gsearch_spark.operators.remove import recover_all_swaps
     recover_all_swaps(pipe.fs, checkpoint_dir)
 
-    old_groups = spark.read.parquet(pipe._path("exact_groups"))
-    if "ck" not in old_groups.columns:
-        raise ValueError(
-            "checkpoint predates append-only add (exact_groups has no "
-            "content-key column); rebuild with tohnsw first")
-    old_bands = spark.read.parquet(pipe._path("bands"))
-    clusters_stored = spark.read.parquet(pipe._path("clusters"))
-    if "pbucket" not in clusters_stored.columns:
-        raise ValueError(
-            "checkpoint predates bucketed clusters (no pbucket "
-            "partitioning); rebuild with tohnsw first")
     ck_path = pipe._path("ck_index")
     id_path = pipe._path("id_index")
     if not (pipe.fs.exists(f"{ck_path}/_SUCCESS")
@@ -581,28 +630,51 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
         raise ValueError(
             "checkpoint predates key-addressed lookup layouts (no "
             "ck_index/id_index/edge_index); rebuild with tohnsw first")
-    # one file-index listing per lookup table for the whole add (the
-    # tables don't change until this add's own commit)
-    ck_idx_df = spark.read.parquet(ck_path)
-    id_idx_df = spark.read.parquet(id_path)
-    # merge-on-read removal sidecars (operators/remove.py).  Gated on
-    # the tombstones table's existence so a build that never saw a
-    # remove keeps its exact pre-remove plans (no extra joins).
     from gsearch_spark.operators.remove import (count_tombstones,
                                                 has_removals,
                                                 read_dead_groups,
                                                 read_rep_remap)
-    removals = has_removals(spark, checkpoint_dir)
-    dead_df = (read_dead_groups(spark, checkpoint_dir)
-               .select("rep_id").localCheckpoint()) if removals else None
-    remap_df = (read_rep_remap(spark, checkpoint_dir)
-                .localCheckpoint()) if removals else None
 
-    # cut the new slice's lineage once: it is consumed by ~8 downstream
-    # plans (counts, keys, sketch set, probes) and re-running a source
-    # filter for each is wasted IO — localCheckpoint (NOT persist; the
-    # documented plan-cache-over-rewritten-path pitfall), O(new) bytes
-    new_images = new_images.localCheckpoint()
+    # the stored-table handles are driver-side FILE-INDEX LISTINGS (the
+    # partitioned sidecars list ~key_buckets dirs each), the removal
+    # gate is more FS probes, and the new slice's one-time lineage cut
+    # is a small job — all independent, so the whole setup runs as ONE
+    # concurrent wave (guide §2.6; measured ~4 s serial at bench scale).
+    # One listing per lookup table serves the whole add (the tables
+    # don't change until this add's own commit).  The new-slice cut is
+    # localCheckpoint (NOT persist; the documented plan-cache-over-
+    # rewritten-path pitfall), O(new) bytes, consumed by ~8 downstream
+    # plans.
+    new_in = new_images
+
+    def _rm_state():
+        # merge-on-read removal sidecars (operators/remove.py).  Gated
+        # on the tombstones table's existence so a build that never saw
+        # a remove keeps its exact pre-remove plans (no extra joins).
+        removals = has_removals(spark, checkpoint_dir)
+        dead = (read_dead_groups(spark, checkpoint_dir)
+                .select("rep_id").localCheckpoint()) if removals else None
+        remap = (read_rep_remap(spark, checkpoint_dir)
+                 .localCheckpoint()) if removals else None
+        return removals, dead, remap
+
+    (old_groups, old_bands, clusters_stored, ck_idx_df, id_idx_df,
+     (removals, dead_df, remap_df), new_images) = _run_parallel(
+        lambda: spark.read.parquet(pipe._path("exact_groups")),
+        lambda: spark.read.parquet(pipe._path("bands")),
+        lambda: spark.read.parquet(pipe._path("clusters")),
+        lambda: spark.read.parquet(ck_path),
+        lambda: spark.read.parquet(id_path),
+        _rm_state,
+        lambda: new_in.localCheckpoint())
+    if "ck" not in old_groups.columns:
+        raise ValueError(
+            "checkpoint predates append-only add (exact_groups has no "
+            "content-key column); rebuild with tohnsw first")
+    if "pbucket" not in clusters_stored.columns:
+        raise ValueError(
+            "checkpoint predates bucketed clusters (no pbucket "
+            "partitioning); rebuild with tohnsw first")
 
     # three independent probe chains run CONCURRENTLY (guide §2.6): the
     # union sanity counts, the id-clash refusal lookup and the new
@@ -881,9 +953,18 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
               .select("a", "b", "src")).localCheckpoint()
     # materialize_slim: the candidate payload slice is O(new x cap) ids
     # out of the whole corpus — one eager cut replaces TWO full payload
-    # scans in the pair-attach plan (guide §8: move heavy bytes once)
+    # scans in the pair-attach plan (guide §8: move heavy bytes once).
+    # The "auto" strategy's id-count job is SKIPPED when the algebraic
+    # bound already proves broadcast fits: every capped pair has a new
+    # endpoint, so distinct ids <= 2 x new x cap — no count needed.
+    # Bulk adds past the bound keep the counted auto path.
+    attach_strategy = cfg.verify_attach
+    if (attach_strategy == "auto"
+            and 2 * n_new * cfg.add_max_candidates_per_item
+            <= cfg.verify_broadcast_max_ids):
+        attach_strategy = "broadcast"
     attached = attach_payloads(capped, all_images,
-                               strategy=cfg.verify_attach,
+                               strategy=attach_strategy,
                                broadcast_max_ids=cfg.verify_broadcast_max_ids,
                                materialize_slim=True)
     new_edges = stage("verified_edges",
@@ -934,6 +1015,37 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
     ep_info = (lookup_id_index(spark, id_path, endpoint_ids, cfg,
                                idx_df=id_idx_df)
                .localCheckpoint())  # small: O(new edges + matched reps)
+
+    # the edge_index delta needs only ep_info + the staged new_edges —
+    # not the CC/label/cluster work below — so its staging write runs on
+    # a side thread OVERLAPPING the whole labels->CC->delta chain
+    # (guide §2.6) instead of waiting for it in the final staging wave
+    gen_file = os.path.join(checkpoint_dir, ID_GEN_FILE)
+    new_gen = (int(pipe.fs.read_text(gen_file))
+               if pipe.fs.exists(gen_file) else 0) + 1
+
+    def _c_edge():
+        # dedup-graph edge delta for the remove path's split
+        # recomputation: endpoints translated to their FOUNDING group
+        # nodes (old endpoints via the ep_info point lookup, new reps
+        # are their own founding node), canonical a < b, intra-group
+        # self-loops dropped
+        ef_a = ep_info.select(F.col("image_id").alias("a"),
+                              F.col("rep_id").alias("fa"))
+        ef_b = ep_info.select(F.col("image_id").alias("b"),
+                              F.col("rep_id").alias("fb"))
+        fedges = (new_edges.select("a", "b")
+                  .join(F.broadcast(ef_a), "a", "left")
+                  .join(F.broadcast(ef_b), "b", "left")
+                  .select(F.coalesce("fa", F.col("a")).alias("na"),
+                          F.coalesce("fb", F.col("b")).alias("nb"))
+                  .filter(F.col("na") != F.col("nb"))
+                  .select(F.least("na", "nb").alias("a"),
+                          F.greatest("na", "nb").alias("b"))
+                  .distinct())
+        stage_edge_append(fedges, staging, cfg)
+
+    edge_future = _spawn(_c_edge)
     labels_live = ep_info.select("image_id",
                                  F.col("cluster_id").alias("label"))
     if removals:
@@ -960,7 +1072,8 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
                    .distinct().localCheckpoint())
     pipe._record("add_cc_edges", label_edges, t0, skipped=False)
     n_label_edges = pipe.records[-1].rows_out
-    if n_label_edges <= cfg.add_cc_local_max_edges:
+    small_graph = n_label_edges <= cfg.add_cc_local_max_edges
+    if small_graph:
         # small-graph fast path: the contracted graph is O(new edges);
         # driver union-find beats O(log^2 n) distributed rounds of
         # per-job latency at append sizes (identical min-member labels)
@@ -982,19 +1095,31 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
                                                          "rep_id"),
                                 "rep_id")
                           .select("label"))
-    aff = (rep_cc.select(F.col("image_id").alias("label"))
-           .join(stored_labels, "label", "left_semi")
-           .unionByName(matched_rep_labels)
-           .distinct().localCheckpoint())
+    aff_expr = (rep_cc.select(F.col("image_id").alias("label"))
+                .join(stored_labels, "label", "left_semi")
+                .unionByName(matched_rep_labels)
+                .distinct())
 
     def _pb(col: str) -> "F.Column":
         return F.pmod(F.xxhash64(col), F.lit(cfg.cluster_buckets)) \
                 .cast("int")
 
-    aff_buckets = sorted(r[0] for r in
-                         aff.select(_pb("label").alias("pb"))
-                         .distinct().collect())  # <= cluster_buckets ints
-    aff_cl = aff.withColumnRenamed("label", "cluster_id")
+    if small_graph:
+        # the affected-label set is the same magnitude as the edge list
+        # union_find just collected (O(new edges + matched reps)), so
+        # ONE collect resolves labels AND their bucket set — instead of
+        # a localCheckpoint job followed by a buckets-only collect job
+        aff_rows = (aff_expr.select("label", _pb("label").alias("pb"))
+                    .collect())
+        aff_buckets = sorted({r["pb"] for r in aff_rows})
+        aff_cl = spark.createDataFrame(
+            [(r["label"],) for r in aff_rows], schema="cluster_id string")
+    else:
+        aff = aff_expr.localCheckpoint()
+        aff_buckets = sorted(r[0] for r in
+                             aff.select(_pb("label").alias("pb"))
+                             .distinct().collect())  # <= cluster_buckets
+        aff_cl = aff.withColumnRenamed("label", "cluster_id")
     # member rows of affected clusters ONLY, read under pbucket pruning
     aff_members = (clusters_stored
                    .filter(F.col("pbucket").isin(aff_buckets))
@@ -1036,13 +1161,9 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
     pipe._record("add_clusters", delta, t0, skipped=False)
 
     # -- stage the rewritten clusters partitions (touched buckets only)
-    #    and the two remaining key-index deltas (ck_index was staged in
-    #    the parallel candidate block) — three independent staging
-    #    writes, run CONCURRENTLY (guide §2.6) ------------------------
-    gen_file = os.path.join(checkpoint_dir, ID_GEN_FILE)
-    new_gen = (int(pipe.fs.read_text(gen_file))
-               if pipe.fs.exists(gen_file) else 0) + 1
-
+    #    and the id_index delta — the ck_index delta was staged in the
+    #    parallel candidate block and the edge_index delta has been
+    #    staging on a side thread since ep_info was cut --------------
     def _c_clusters():
         t0 = time.time()
         delta_buckets = {r[0] for r in
@@ -1074,29 +1195,9 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
     def _c_id():
         stage_id_append(delta, new_gen, staging, cfg)
 
-    def _c_edge():
-        # dedup-graph edge delta for the remove path's split
-        # recomputation: endpoints translated to their FOUNDING group
-        # nodes (old endpoints via the ep_info point lookup, new reps
-        # are their own founding node), canonical a < b, intra-group
-        # self-loops dropped
-        ef_a = ep_info.select(F.col("image_id").alias("a"),
-                              F.col("rep_id").alias("fa"))
-        ef_b = ep_info.select(F.col("image_id").alias("b"),
-                              F.col("rep_id").alias("fb"))
-        fedges = (new_edges.select("a", "b")
-                  .join(F.broadcast(ef_a), "a", "left")
-                  .join(F.broadcast(ef_b), "b", "left")
-                  .select(F.coalesce("fa", F.col("a")).alias("na"),
-                          F.coalesce("fb", F.col("b")).alias("nb"))
-                  .filter(F.col("na") != F.col("nb"))
-                  .select(F.least("na", "nb").alias("a"),
-                          F.greatest("na", "nb").alias("b"))
-                  .distinct())
-        stage_edge_append(fedges, staging, cfg)
-
     t0 = time.time()
-    swap, _, _ = _run_parallel(_c_clusters, _c_id, _c_edge)
+    swap, _ = _run_parallel(_c_clusters, _c_id)
+    edge_future.result()  # staged since ep_info; must land pre-manifest
     pipe._record("add_index_delta",
                  spark.read.parquet(f"{staging}/id_index"), t0,
                  skipped=False)
@@ -1113,15 +1214,22 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
     pipe.fs.write_text(mpath, json.dumps(manifest))
     _apply_add_commit(pipe.fs, checkpoint_dir, manifest)
     pipe.fs.delete(mpath)
-    pipe.fs.delete(staging)
-    pipe._flush_state()  # one lineage append for the whole add
-    # the swap happened via raw FS renames, invisible to Spark's shared
-    # file-status cache — refresh before re-listing (the documented
-    # plan-cache-over-rewritten-path pitfall, FS-metadata edition)
-    for name in ("exact_groups", "signatures", "bands", "candidate_pairs",
-                 "verified_edges", "clusters", "ck_index", "id_index",
-                 "edge_index"):
-        spark.catalog.refreshByPath(pipe._path(name))
+
+    # post-commit housekeeping: the staging wipe (recursive FS delete),
+    # the lineage flush (one parquet append job) and the file-status
+    # cache refresh (the swap happened via raw FS renames, invisible to
+    # Spark's shared cache — the documented plan-cache-over-rewritten-
+    # path pitfall, FS-metadata edition) touch disjoint state and run
+    # CONCURRENTLY (guide §2.6)
+    def _refresh():
+        for name in ("exact_groups", "signatures", "bands",
+                     "candidate_pairs", "verified_edges", "clusters",
+                     "ck_index", "id_index", "edge_index"):
+            spark.catalog.refreshByPath(pipe._path(name))
+
+    _run_parallel(lambda: pipe.fs.delete(staging),
+                  pipe._flush_state,  # one lineage append for the add
+                  _refresh)
     return (spark.read.parquet(pipe._path("clusters"))
             .select("image_id", "cluster_id"))
 

@@ -208,16 +208,47 @@ def _remove_locked(spark: SparkSession, cfg: PipelineConfig,
             "remove_images: ids already removed, e.g. "
             f"{already_ids}")
 
+    # tombstone staging needs only the (already-checkpointed) rm list
+    # and the next generation number — start it NOW on a side thread so
+    # it overlaps the whole members/CC/delta chain below (guide §2.6)
+    from gsearch_spark.operators.pipeline import _spawn
+    staging = pipe._path("_add_staging")
+    pipe.fs.delete(staging)
+    gen_file = os.path.join(checkpoint_dir, ID_GEN_FILE)
+    new_gen = (int(pipe.fs.read_text(gen_file))
+               if pipe.fs.exists(gen_file) else 0) + 1
+
+    def _st_tomb():
+        (rm.withColumn("gen", F.lit(new_gen))
+         .withColumn("tb", F.pmod(F.xxhash64("image_id"),
+                                  F.lit(cfg.key_buckets)).cast("int"))
+         .repartition(1)
+         .write.mode("overwrite").partitionBy("tb")
+         .parquet(f"{staging}/{TOMBSTONES}"))
+
+    tomb_future = _spawn(_st_tomb)
+
     # -- affected clusters: members read under pbucket pruning ----------
     def _pb(col: str) -> "F.Column":
         return F.pmod(F.xxhash64(col), F.lit(cfg.cluster_buckets)) \
                 .cast("int")
 
     t0 = time.time()
-    aff = info.select("cluster_id").distinct().localCheckpoint()
-    aff_buckets = sorted(r[0] for r in
-                         aff.select(_pb("cluster_id").alias("pb"))
-                         .distinct().collect())
+    if n_rm <= cfg.add_lookup_max_literals:
+        # the affected-label set is bounded by the remove batch: ONE
+        # collect resolves the labels AND their bucket set (instead of
+        # a localCheckpoint job + a buckets-only collect job)
+        aff_rows = (info.select("cluster_id").distinct()
+                    .select("cluster_id", _pb("cluster_id").alias("pb"))
+                    .collect())
+        aff_buckets = sorted({r["pb"] for r in aff_rows})
+        aff = spark.createDataFrame([(r["cluster_id"],) for r in aff_rows],
+                                    schema="cluster_id string")
+    else:
+        aff = info.select("cluster_id").distinct().localCheckpoint()
+        aff_buckets = sorted(r[0] for r in
+                             aff.select(_pb("cluster_id").alias("pb"))
+                             .distinct().collect())
     members = (clusters_stored
                .filter(F.col("pbucket").isin(aff_buckets))
                .join(F.broadcast(aff), "cluster_id")
@@ -232,20 +263,36 @@ def _remove_locked(spark: SparkSession, cfg: PipelineConfig,
 
     surv = mem.join(rm, "image_id", "left_anti").localCheckpoint()
     surv_groups = surv.select("rep_id").distinct()
-    gone_groups = (mem.join(rm, "image_id", "left_semi")
-                   .select("rep_id").distinct()
-                   .join(surv_groups, "rep_id", "left_anti")
-                   .localCheckpoint())
-    # remap refresh: every surviving group whose FOUNDING rep is not
-    # among the survivors points at its minimum surviving member (also
-    # re-points groups remapped by earlier batches whose target just
-    # died — the recompute is total over the affected slice)
-    founders_alive = (surv.filter(F.col("image_id") == F.col("rep_id"))
-                      .select("rep_id"))
-    remap_delta = (surv.groupBy("rep_id")
-                   .agg(F.min("image_id").alias("new_rep"))
-                   .join(founders_alive, "rep_id", "left_anti")
-                   .select(F.col("rep_id").alias("old_rep"), "new_rep"))
+
+    # the dead-group / rep-remap sidecar chain consumes only mem + surv
+    # (both checkpointed) — nothing from the CC recompute — so the whole
+    # chain INCLUDING its staging writes runs on a side thread under the
+    # edge-lookup/CC/delta work below (guide §2.6)
+    def _st_sidecars():
+        gone_groups = (mem.join(rm, "image_id", "left_semi")
+                       .select("rep_id").distinct()
+                       .join(surv_groups, "rep_id", "left_anti")
+                       .localCheckpoint())
+        # remap refresh: every surviving group whose FOUNDING rep is not
+        # among the survivors points at its minimum surviving member
+        # (also re-points groups remapped by earlier batches whose
+        # target just died — the recompute is total over the affected
+        # slice)
+        founders_alive = (surv.filter(F.col("image_id") == F.col("rep_id"))
+                          .select("rep_id"))
+        remap_delta = (surv.groupBy("rep_id")
+                       .agg(F.min("image_id").alias("new_rep"))
+                       .join(founders_alive, "rep_id", "left_anti")
+                       .select(F.col("rep_id").alias("old_rep"),
+                               "new_rep"))
+        if not gone_groups.isEmpty():
+            (gone_groups.withColumn("gen", F.lit(new_gen)).repartition(1)
+             .write.mode("overwrite").parquet(f"{staging}/{DEAD_GROUPS}"))
+        if not remap_delta.isEmpty():
+            (remap_delta.withColumn("gen", F.lit(new_gen)).repartition(1)
+             .write.mode("overwrite").parquet(f"{staging}/{REP_REMAP}"))
+
+    sidecars_future = _spawn(_st_sidecars)
 
     # -- connectivity: CC over surviving group nodes ---------------------
     # (a dying group's edges vanish — only then can a cluster split; the
@@ -274,16 +321,10 @@ def _remove_locked(spark: SparkSession, cfg: PipelineConfig,
              .select("image_id", "cluster_id").localCheckpoint())
     pipe._record("rm_clusters", delta, t0, skipped=False)
 
-    # -- stage every delta, then the shared manifest commit.  The four
-    #    staging writes (clusters rewrite, id_index delta, tombstones,
-    #    dead-group/remap sidecars) are independent and run CONCURRENTLY
-    #    (guide §2.6) ----------------------------------------------------
-    staging = pipe._path("_add_staging")
-    pipe.fs.delete(staging)
-    gen_file = os.path.join(checkpoint_dir, ID_GEN_FILE)
-    new_gen = (int(pipe.fs.read_text(gen_file))
-               if pipe.fs.exists(gen_file) else 0) + 1
-
+    # -- stage the remaining deltas, then the shared manifest commit.
+    #    Tombstones and the dead-group/remap sidecars have been staging
+    #    on side threads since their inputs were cut; the clusters
+    #    rewrite and id_index delta run CONCURRENTLY here (guide §2.6)
     def _st_clusters():
         t0 = time.time()
         delta_buckets = {r[0] for r in
@@ -326,24 +367,9 @@ def _remove_locked(spark: SparkSession, cfg: PipelineConfig,
                                            null_s.alias("rep_id"))))
         stage_id_append(id_delta, new_gen, staging, cfg)
 
-    def _st_tomb():
-        (rm.withColumn("gen", F.lit(new_gen))
-         .withColumn("tb", F.pmod(F.xxhash64("image_id"),
-                                  F.lit(cfg.key_buckets)).cast("int"))
-         .repartition(1)
-         .write.mode("overwrite").partitionBy("tb")
-         .parquet(f"{staging}/{TOMBSTONES}"))
-
-    def _st_sidecars():
-        if not gone_groups.isEmpty():
-            (gone_groups.withColumn("gen", F.lit(new_gen)).repartition(1)
-             .write.mode("overwrite").parquet(f"{staging}/{DEAD_GROUPS}"))
-        if not remap_delta.isEmpty():
-            (remap_delta.withColumn("gen", F.lit(new_gen)).repartition(1)
-             .write.mode("overwrite").parquet(f"{staging}/{REP_REMAP}"))
-
-    swap, _, _, _ = _run_parallel(_st_clusters, _st_id, _st_tomb,
-                                  _st_sidecars)
+    swap, _ = _run_parallel(_st_clusters, _st_id)
+    tomb_future.result()      # staged since the refusal checks passed
+    sidecars_future.result()  # staged since surv was cut
 
     manifest = {"version": 2, "staging": staging,
                 "append_stages": [DEAD_GROUPS, REP_REMAP],
@@ -354,11 +380,17 @@ def _remove_locked(spark: SparkSession, cfg: PipelineConfig,
     pipe.fs.write_text(mpath, json.dumps(manifest))
     _apply_add_commit(pipe.fs, checkpoint_dir, manifest)
     pipe.fs.delete(mpath)
-    pipe.fs.delete(staging)
-    pipe._flush_state()
-    for name in ("clusters", "id_index", TOMBSTONES, DEAD_GROUPS,
-                 REP_REMAP):
-        spark.catalog.refreshByPath(pipe._path(name))
+
+    # post-commit housekeeping overlaps (same shape as the add path):
+    # staging wipe ∥ lineage flush ∥ file-status cache refresh
+    def _refresh():
+        for name in ("clusters", "id_index", TOMBSTONES, DEAD_GROUPS,
+                     REP_REMAP):
+            spark.catalog.refreshByPath(pipe._path(name))
+
+    _run_parallel(lambda: pipe.fs.delete(staging),
+                  pipe._flush_state,
+                  _refresh)
     return (spark.read.parquet(pipe._path("clusters"))
             .select("image_id", "cluster_id"))
 

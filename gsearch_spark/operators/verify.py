@@ -213,7 +213,8 @@ def verify_pairs(pairs_with_payloads: DataFrame,
 
 
 def verified_edges(pairs: DataFrame, images: DataFrame,
-                   cfg: PipelineConfig) -> DataFrame:
+                   cfg: PipelineConfig,
+                   n_pairs_hint: "int | None" = None) -> DataFrame:
     """Full verify stage: metadata prefilter (phase 1, JVM) -> payload
     attach -> pixel/caption verify (phase 2, Arrow); keep dup edges.
 
@@ -223,13 +224,23 @@ def verified_edges(pairs: DataFrame, images: DataFrame,
     cut (guide §2.4 duplicated subtrees).  It is keys-only rows of the
     same magnitude as the candidate_pairs checkpoint (star-capped, so
     O(n x bands) even at 10^12 rows — the stage already materializes
-    that table to parquet)."""
+    that table to parquet).
+
+    ``n_pairs_hint``: the caller's known upper bound on the INPUT pair
+    count (the pipeline already holds the candidate_pairs stage record).
+    When ``2 x hint`` fits the broadcast budget, the "auto" strategy's
+    id-count job is skipped — distinct candidate ids can never exceed
+    two per pair, so the algebraic bound replaces the counted one."""
+    strategy = cfg.verify_attach
+    if (strategy == "auto" and n_pairs_hint is not None
+            and 2 * n_pairs_hint <= cfg.verify_broadcast_max_ids):
+        strategy = "broadcast"
     plausible = prefilter_pairs(pairs, images,
                                 cfg.prefilter_max_phash_hamming,
                                 cfg.prefilter_max_phash_hamming_phash_src
                                 ).localCheckpoint()
     attached = attach_payloads(plausible, images,
-                               strategy=cfg.verify_attach,
+                               strategy=strategy,
                                broadcast_max_ids=cfg.verify_broadcast_max_ids)
     verdicts = verify_pairs(attached, cfg)
     return verdicts.filter(F.col("dup")).select(

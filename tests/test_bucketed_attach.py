@@ -67,3 +67,26 @@ def test_bucketed_attach_skips_payload_exchanges(spark, small_fixture_dir,
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert n_bucketed < n_plain, (n_bucketed, n_plain)
+
+
+def test_verified_edges_pair_count_hint_equivalent(spark, small_fixture_dir,
+                                                   pairs):
+    """The attach-strategy shortcut (2 x n_pairs_hint under the broadcast
+    budget => skip the auto id-count job) must be invisible in the rows:
+    hinted and unhinted verified_edges agree exactly, and a hint past the
+    budget (falls back to the counted auto path) agrees too."""
+    from gsearch_spark.config import PipelineConfig
+    from gsearch_spark.operators.verify import verified_edges
+
+    cfg = PipelineConfig()
+    images = spark.read.parquet(f"{small_fixture_dir}/images.parquet")
+
+    def rows(hint):
+        return sorted(
+            (r["a"], r["b"], r["src"], round(r["psnr"], 6), r["caption_eq"])
+            for r in verified_edges(pairs, images, cfg,
+                                    n_pairs_hint=hint).collect())
+
+    want = rows(None)                                    # counted auto path
+    assert rows(4) == want                               # algebraic shortcut
+    assert rows(cfg.verify_broadcast_max_ids) == want    # over-budget hint
