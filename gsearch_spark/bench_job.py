@@ -46,6 +46,12 @@ def main() -> None:
                          "executor JVMs instead of one local[cores] JVM; "
                          "pins whether a scaling residual is the single "
                          "JVM or host memory physics")
+    ap.add_argument("--exec-mem-mb", type=int, default=8192,
+                    help="per-executor JVM heap for --multi-jvm arms; "
+                         "the FULL checkpointed pipeline overlaps "
+                         "independent job chains and needs more headroom "
+                         "than the single-query scaling modes (a real "
+                         "cluster sizes executors for its workload)")
     args = ap.parse_args()
 
     from gsearch_spark.config import PipelineConfig
@@ -59,12 +65,16 @@ def main() -> None:
     master, extra_conf = None, None
     if args.multi_jvm:
         per = max(1, args.cores // args.multi_jvm)
-        master = f"local-cluster[{args.multi_jvm},{per},8192]"
+        master = f"local-cluster[{args.multi_jvm},{per},{args.exec_mem_mb}]"
         # executors are separate JVMs whose python workers don't inherit
-        # the driver's sys.path — ship the repo dir like --py-files would
+        # the driver's sys.path — ship the repo dir like --py-files would.
+        # The master string sets the WORKER's capacity only; the executor
+        # itself still requests spark.executor.memory (default 1g), so
+        # size it to the worker or the heap never grows.
         import os as _os
         repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-        extra_conf = {"spark.executorEnv.PYTHONPATH": repo}
+        extra_conf = {"spark.executorEnv.PYTHONPATH": repo,
+                      "spark.executor.memory": f"{args.exec_mem_mb}m"}
     spark = get_spark(f"bench_c{args.cores}", cores=args.cores,
                       shuffle_partitions=args.cores * args.shuffle_mult,
                       master=master, extra_conf=extra_conf)
