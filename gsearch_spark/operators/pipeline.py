@@ -309,8 +309,13 @@ class NearDupPipeline:
         # rep count from the (keys-only, checkpointed) groups table — the
         # same number as images_rep.count() by construction (rep_id =
         # min image_id of its group, always a row of images) without
-        # paying the images⋈reps semi-join a count over images_rep runs
-        n_reps = groups.filter(F.col("image_id") == F.col("rep_id")).count()
+        # paying the images⋈reps semi-join a count over images_rep runs.
+        # Only the sent==received check AFTER signatures consumes it, so
+        # the count job runs on a side thread under the decode-bound
+        # signatures stage (guide §2.6) instead of on the critical path
+        nreps_future = _spawn(
+            lambda: groups.filter(F.col("image_id") == F.col("rep_id"))
+            .count())
 
         # the suffix pass consumes only images_rep (captions + phash) —
         # no signatures, no bands — so it overlaps the decode-bound
@@ -321,6 +326,11 @@ class NearDupPipeline:
         if not (resume and self._done("candidate_pairs")):
             sfx_future = _spawn(
                 lambda: suffix_candidate_pairs(images_rep).localCheckpoint())
+
+        from gsearch_spark.operators.keyidx import (read_edge_index,
+                                                    write_ck_index,
+                                                    write_edge_index,
+                                                    write_id_index)
 
         # -- stage 1: signatures (representatives only) --------------------
         t0 = time.time()
@@ -333,7 +343,11 @@ class NearDupPipeline:
                                                         self.cfg))
             sigs = self._record("signatures", sigs, t0, skipped=False)
         # sent == received invariant (gsearch src/dna/dnasketch.rs:458-464)
-        n_sigs = self.records[-1].rows_out
+        # (by-name lookup: the concurrently-recording ck_index thread may
+        # interleave records, so records[-1] is no longer this stage's)
+        n_sigs = next(r.rows_out for r in reversed(self.records)
+                      if r.stage == "signatures")
+        n_reps = nreps_future.result()
         if n_sigs != n_reps:
             raise RuntimeError(
                 f"signature count {n_sigs} != representative count "
@@ -391,6 +405,37 @@ class NearDupPipeline:
                                                      n_pairs_hint=n_pairs))
             edges = self._record("verified_edges", edges, t0, skipped=False)
 
+        # ck_index depends only on the stage-0 exact_groups checkpoint and
+        # edge_index only on the verified_edges checkpoint just written —
+        # both writes overlap the clusters stage below (guide §2.6), whose
+        # union-find fast path is driver-heavy and leaves executor slots
+        # idle.  (Spawning ck_index earlier — under the decode-bound
+        # signatures stage — was measured WORSE per-stage: all 32 task
+        # slots are busy there, so the sidecar job just queued and its
+        # recorded wall inflated 1.6 s → 3.7 s.)
+        def _w_ck():
+            t0 = time.time()
+            if resume and self._done("ck_index"):
+                df = self.spark.read.parquet(self._path("ck_index"))
+                self._record("ck_index", df, t0, skipped=True)
+            else:
+                write_ck_index(groups, self._path("ck_index"), self.cfg)
+                df = self.spark.read.parquet(self._path("ck_index"))
+                self._record("ck_index", df, t0, skipped=False)
+
+        def _w_edge():
+            t0 = time.time()
+            if resume and self._done("edge_index"):
+                df = read_edge_index(self.spark, self._path("edge_index"))
+                self._record("edge_index", df, t0, skipped=True)
+            else:
+                write_edge_index(edges, self._path("edge_index"), self.cfg)
+                df = read_edge_index(self.spark, self._path("edge_index"))
+                self._record("edge_index", df, t0, skipped=False)
+
+        ck_future = _spawn(_w_ck)
+        edge_future = _spawn(_w_edge)
+
         # -- stage 5: clusters (small-star / large-star CC over reps,
         #    then expand exact-group members onto their rep's cluster).
         #    Written hive-partitioned on pbucket(cluster_id) so the
@@ -408,7 +453,10 @@ class NearDupPipeline:
             # count is already known from the verified_edges record (no
             # extra job); the reliable-checkpoint mode keeps the
             # distributed path (its point is surviving executor loss).
-            n_edges = self.records[-1].rows_out
+            # By-name lookup: the ck/edge sidecar threads record
+            # concurrently, so records[-1] may not be verified_edges.
+            n_edges = next(r.rows_out for r in reversed(self.records)
+                           if r.stage == "verified_edges")
             if (not self.cfg.cc_reliable_checkpoints
                     and n_edges <= self.cfg.add_cc_local_max_edges):
                 mapping = union_find([(r["a"], r["b"]) for r in
@@ -445,27 +493,10 @@ class NearDupPipeline:
         #    append path's membership / label / id-clash probes prune to
         #    O(probed keys) IO instead of scanning corpus-sized key
         #    columns (reference: add addresses its persisted index by
-        #    rank, never rescans it — src/dna/dnasketch.rs:106-134) -----
-        from gsearch_spark.operators.keyidx import (read_edge_index,
-                                                    write_ck_index,
-                                                    write_edge_index,
-                                                    write_id_index)
-
-        # the three sidecar layouts depend only on already-checkpointed
-        # stages (groups / clusters / edges), never on each other — each
-        # is a small repartition+partitioned-write job whose latency, not
-        # volume, dominates at this size, so they run CONCURRENTLY
-        # (guide §2.6; measured 3.3 s sequential -> ~1.4 s overlapped)
-        def _w_ck():
-            t0 = time.time()
-            if resume and self._done("ck_index"):
-                df = self.spark.read.parquet(self._path("ck_index"))
-                self._record("ck_index", df, t0, skipped=True)
-            else:
-                write_ck_index(groups, self._path("ck_index"), self.cfg)
-                df = self.spark.read.parquet(self._path("ck_index"))
-                self._record("ck_index", df, t0, skipped=False)
-
+        #    rank, never rescans it — src/dna/dnasketch.rs:106-134).
+        #    ck_index has been writing since stage 0 and edge_index since
+        #    the verify stage (side threads, guide §2.6) — only the
+        #    clusters-dependent id_index remains on the critical path.
         def _w_id():
             t0 = time.time()
             if resume and self._done("id_index"):
@@ -477,17 +508,9 @@ class NearDupPipeline:
                 df = self.spark.read.parquet(self._path("id_index"))
                 self._record("id_index", df, t0, skipped=False)
 
-        def _w_edge():
-            t0 = time.time()
-            if resume and self._done("edge_index"):
-                df = read_edge_index(self.spark, self._path("edge_index"))
-                self._record("edge_index", df, t0, skipped=True)
-            else:
-                write_edge_index(edges, self._path("edge_index"), self.cfg)
-                df = read_edge_index(self.spark, self._path("edge_index"))
-                self._record("edge_index", df, t0, skipped=False)
-
-        _run_parallel(_w_ck, _w_id, _w_edge)
+        _w_id()
+        ck_future.result()
+        edge_future.result()
         if stats_future is not None:
             stats_future.result()
         gen_path = os.path.join(self.dir, ID_GEN_FILE)
