@@ -10,13 +10,39 @@ object-store runs take one code path.  (Reference analog: the dump/load
 plumbing of gsearch ``src/utils/dumpload.rs:15-62`` — always beside the
 index, whatever the storage.)
 
+Local-scheme fast path: when the resolved FileSystem is the local one
+(scheme ``file``), every metadata op is served by ``os``/``shutil``
+directly instead of a py4j round trip.  Measured motivation: one
+gateway call is ~1.6 ms and the add/remove commit makes ~1,200 of them
+(per-partition-dir rename loops), ~1.4 s of pure driver-side latency
+per mutation; the same calls via ``os`` are microseconds.  Semantics
+are kept Hadoop-compatible (``rename`` returns False when src is
+missing or dst exists; ``delete`` returns False on a missing path;
+``create_atomic`` is O_EXCL-atomic), and any remote scheme takes the
+unchanged JVM path — this is the driver-side analog of Hadoop's own
+short-circuit local reads.  ``GSEARCH_FS_JVM=1`` forces the JVM path
+(used by the parity test).
+
 Data-sized IO never goes through here — stages read/write Parquet via
 Spark itself.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import SparkSession
+
+
+def _strip_scheme(path: str) -> str:
+    """``file:/x`` / ``file:///x`` → ``/x`` (JVM listings hand back URIs)."""
+    if path.startswith("file:"):
+        rest = path[5:]
+        while rest.startswith("//"):
+            rest = rest[1:]
+        return rest
+    return path
 
 
 class CheckpointFS:
@@ -28,23 +54,60 @@ class CheckpointFS:
         hconf = sc._jsc.hadoopConfiguration()
         self._fs = self._jvm.org.apache.hadoop.fs.Path(
             path_hint).getFileSystem(hconf)
+        try:
+            scheme = str(self._fs.getUri().getScheme() or "")
+        except Exception:  # pragma: no cover - defensive
+            scheme = ""
+        self._local = (scheme == "file"
+                       and os.environ.get("GSEARCH_FS_JVM") != "1")
 
     def _p(self, path: str):
         return self._jvm.org.apache.hadoop.fs.Path(path)
 
     def exists(self, path: str) -> bool:
+        if self._local:
+            return os.path.exists(_strip_scheme(path))
         return bool(self._fs.exists(self._p(path)))
 
     def mkdirs(self, path: str) -> bool:
+        if self._local:
+            os.makedirs(_strip_scheme(path), exist_ok=True)
+            return True
         return bool(self._fs.mkdirs(self._p(path)))
 
     def delete(self, path: str) -> bool:
         """Recursive delete; True if something was removed."""
+        if self._local:
+            p = _strip_scheme(path)
+            if os.path.isdir(p) and not os.path.islink(p):
+                shutil.rmtree(p)
+                return True
+            if os.path.lexists(p):
+                os.remove(p)
+                return True
+            return False
         return bool(self._fs.delete(self._p(path), True))
 
     def rename(self, src: str, dst: str) -> bool:
         """Atomic on HDFS/posix; copy-ish on object stores — callers only
-        rename METADATA-STAGED directories, never live query inputs."""
+        rename METADATA-STAGED directories, never live query inputs.
+        Hadoop contract: False when src is missing or dst already exists
+        (callers' swap protocols rely on the no-overwrite refusal)."""
+        if self._local:
+            # dst-exists behavior differs BETWEEN Hadoop backends (HDFS
+            # moves src inside an existing dir; the local FS maps to
+            # POSIX renameTo, which replaces an empty dir): no caller
+            # renames onto an existing path (swap protocols delete or
+            # rename the destination away first), so the fast path
+            # refuses — the conservative common subset
+            s, d = _strip_scheme(src), _strip_scheme(dst)
+            if not os.path.lexists(s) or os.path.lexists(d):
+                return False
+            try:
+                os.rename(s, d)
+            except OSError:
+                return False
+            return True
         return bool(self._fs.rename(self._p(src), self._p(dst)))
 
     def move_children(self, src_dir: str, dst_dir: str) -> int:
@@ -54,6 +117,16 @@ class CheckpointFS:
         collisions are impossible, and each move is a metadata op.
         ``_SUCCESS`` markers are skipped (the destination already has one).
         Returns the number of files moved."""
+        if self._local:
+            s, d = _strip_scheme(src_dir), _strip_scheme(dst_dir)
+            os.makedirs(d, exist_ok=True)
+            moved = 0
+            for name in os.listdir(s):
+                if name == "_SUCCESS" or name.startswith("."):
+                    continue
+                os.rename(os.path.join(s, name), os.path.join(d, name))
+                moved += 1
+            return moved
         self.mkdirs(dst_dir)
         moved = 0
         for st in self._fs.listStatus(self._p(src_dir)):
@@ -70,6 +143,9 @@ class CheckpointFS:
         """Immediate children (files and dirs) of a directory, as full
         path strings.  Used by the add commit to enumerate staged hive
         partition dirs (``kb=…`` / ``ib=…``)."""
+        if self._local:
+            p = _strip_scheme(path)
+            return [os.path.join(p, name) for name in sorted(os.listdir(p))]
         return [str(st.getPath().toString())
                 for st in self._fs.listStatus(self._p(path))]
 
@@ -80,6 +156,18 @@ class CheckpointFS:
         caveat).  Returns False, touching nothing, when the file is
         already there.  This is the mutual-exclusion primitive behind
         the single-writer add lock."""
+        if self._local:
+            p = _strip_scheme(path)
+            os.makedirs(os.path.dirname(p) or "/", exist_ok=True)
+            try:
+                fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                return False
+            try:
+                os.write(fd, text.encode("utf-8"))
+            finally:
+                os.close(fd)
+            return True
         if not bool(self._fs.createNewFile(self._p(path))):
             return False
         # we won the create: filling in the body is race-free
@@ -87,6 +175,12 @@ class CheckpointFS:
         return True
 
     def write_text(self, path: str, text: str) -> None:
+        if self._local:
+            p = _strip_scheme(path)
+            os.makedirs(os.path.dirname(p) or "/", exist_ok=True)
+            with open(p, "w", encoding="utf-8") as f:
+                f.write(text)
+            return
         out = self._fs.create(self._p(path), True)
         try:
             out.write(bytearray(text.encode("utf-8")))
@@ -94,6 +188,9 @@ class CheckpointFS:
             out.close()
 
     def read_text(self, path: str) -> str:
+        if self._local:
+            with open(_strip_scheme(path), "r", encoding="utf-8") as f:
+                return f.read()
         stream = self._fs.open(self._p(path))
         try:
             return str(self._jvm.org.apache.commons.io.IOUtils.toString(

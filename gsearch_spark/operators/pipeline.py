@@ -95,6 +95,24 @@ def _run_parallel(*thunks):
         return [f.result() for f in futs]
 
 
+def _fanout(fn, items, workers: int = 16):
+    """Apply ``fn`` to every item on a bounded thread pool and wait.
+    Pure driver-side FS-metadata fan-out (no Spark jobs): the add/remove
+    commit's per-partition-dir rename loops are hundreds of sequential
+    py4j round trips at 1-3 ms each — independent of one another, so
+    latency, not work, is the cost.  The first exception is re-raised."""
+    items = list(items)
+    if len(items) <= 1:
+        for it in items:
+            fn(it)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=min(workers, len(items))) as pool:
+        futs = [pool.submit(fn, it) for it in items]
+        for f in futs:
+            f.result()
+
+
 def _spawn(thunk):
     """Start ONE job chain on a side thread and return its Future —
     the overlap primitive behind :func:`_run_parallel` when the caller
@@ -1234,9 +1252,11 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
                 "id_index_gen": new_gen,
                 "clusters_swap": swap}
     mpath = os.path.join(checkpoint_dir, ADD_MANIFEST)
+    _trace("commit: manifest")
     pipe.fs.write_text(mpath, json.dumps(manifest))
     _apply_add_commit(pipe.fs, checkpoint_dir, manifest)
     pipe.fs.delete(mpath)
+    _trace("commit: applied")
 
     # post-commit housekeeping: the staging wipe (recursive FS delete),
     # the lineage flush (one parquet append job) and the file-status
@@ -1253,6 +1273,7 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
     _run_parallel(lambda: pipe.fs.delete(staging),
                   pipe._flush_state,  # one lineage append for the add
                   _refresh)
+    _trace("commit: housekeeping done")
     return (spark.read.parquet(pipe._path("clusters"))
             .select("image_id", "cluster_id"))
 
@@ -1274,16 +1295,23 @@ def _apply_add_commit(fs: CheckpointFS, root: str, manifest: dict) -> None:
     # hive-partitioned appends (ck_index/id_index): move each staged
     # partition dir's files into the live partition dir, then drop the
     # staged dir so a crashed re-run skips it (same idempotence contract
-    # as the flat appends above)
+    # as the flat appends above).  The ~key_buckets partition dirs are
+    # independent of each other and each move is 3-4 py4j FS round
+    # trips, so the per-dir moves fan out over a small thread pool
+    # (guide §2.6 applied to driver-side FS metadata latency); a crash
+    # mid-fan-out recovers exactly as before — surviving staged dirs
+    # re-move, finished ones were deleted
     def _move_partitioned(name: str) -> None:
         src = f"{staging}/{name}"
         if fs.exists(src):
-            for child in fs.list_children(src):
+            def _mv(child: str) -> None:
                 cname = child.rsplit("/", 1)[-1]
                 if not cname or "=" not in cname:
-                    continue  # _SUCCESS / hidden markers
+                    return  # _SUCCESS / hidden markers
                 fs.move_children(child, f"{root}/{name}/{cname}")
                 fs.delete(child)
+
+            _fanout(_mv, fs.list_children(src))
             fs.delete(src)
 
     # tables are independent and each move is idempotent, so the
@@ -1294,11 +1322,14 @@ def _apply_add_commit(fs: CheckpointFS, root: str, manifest: dict) -> None:
                     for n in manifest["append_stages"]],
                   *[(lambda n=n: _move_partitioned(n))
                     for n in manifest.get("partitioned_appends", [])])
+    _trace("commit: table moves done")
     if "id_index_gen" in manifest:
         fs.write_text(f"{root}/{ID_GEN_FILE}",
                       str(manifest["id_index_gen"]))
     live = f"{root}/clusters"
-    for p, has_rows in manifest["clusters_swap"].items():
+
+    def _swap_bucket(item) -> None:
+        p, has_rows = item
         staged_p = f"{staging}/clusters/pbucket={p}"
         live_p = f"{live}/pbucket={p}"
         if has_rows:
@@ -1307,6 +1338,11 @@ def _apply_add_commit(fs: CheckpointFS, root: str, manifest: dict) -> None:
                 fs.rename(staged_p, live_p)
         else:
             fs.delete(live_p)
+
+    # bucket swaps are independent (distinct dirs) and each is 2-3 FS
+    # metadata calls; same fan-out as the partitioned moves above, same
+    # per-bucket crash idempotence (a staged dir present => not swapped)
+    _fanout(_swap_bucket, manifest["clusters_swap"].items())
 
 
 def recover_add_commit(spark: SparkSession, checkpoint_dir: str) -> bool:
