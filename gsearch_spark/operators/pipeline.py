@@ -816,9 +816,15 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
         _trace("touched: prefix done")
         return touched_imgs, old_touched_reps
 
-    ((n_new, n_old, n_dead, n_all), n_clash, (nk, old_keys),
-     touched_prefix_out) = _run_parallel(_chk_counts, _chk_clash,
-                                         _mk_old_keys, _touched_prefix)
+    # the touched-phash chain is the LONGEST of the setup chains (three
+    # serial jobs) yet its outputs are consumed only by the suffix
+    # branch in the NEXT wave — so it runs as a detached future joined
+    # there, and the main thread proceeds to exact grouping as soon as
+    # the three chains it actually needs are done (guide §2.6)
+    touched_future = _spawn(_touched_prefix)
+    ((n_new, n_old, n_dead, n_all), n_clash,
+     (nk, old_keys)) = _run_parallel(_chk_counts, _chk_clash,
+                                     _mk_old_keys)
     if n_all != n_old - n_dead + n_new:
         raise ValueError("all_images must be exactly old ∪ new "
                          "(minus removed rows)")
@@ -936,11 +942,11 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
         return no_pairs.localCheckpoint()
 
     def _br_touched():
-        # prefix results were computed in the early parallel block
-        # (overlapping the setup lookups — the touched-slice selection
-        # only needs the NEW slice's phashes); here only the parts that
-        # need new_rep_ids remain.
-        touched_imgs, old_touched_reps = touched_prefix_out
+        # prefix results were computed on the detached setup-wave future
+        # (overlapping the setup lookups AND exact grouping — the
+        # touched-slice selection only needs the NEW slice's phashes);
+        # here only the parts that need new_rep_ids remain.
+        touched_imgs, old_touched_reps = touched_future.result()
         # eager cut before the suffix pass: at bulk append sizes the
         # rep-ness lookup takes the semi-join fallback and this
         # subtree's exchanges get reused by both arms of the sfx_new
