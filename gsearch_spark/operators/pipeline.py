@@ -867,6 +867,27 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
                    .select("image_id"))
     to_sketch = new_images.join(new_rep_ids, "image_id", "left_semi")
 
+    # matched reps (old groups gaining members) depend only on the
+    # just-staged exact groups; the fused small-add tail needs them as a
+    # driver list, so the collect runs on a side thread under the whole
+    # sketch/band/verify phase (guide §2.6).
+    mr_expr = (new_groups
+               .join(new_images.select(F.col("image_id").alias("rep_id")),
+                     "rep_id", "left_anti")
+               .select("rep_id").distinct())
+    def _mr_collect():
+        mr = sorted(r["rep_id"] for r in mr_expr.collect())
+        rmp = ({r["old_rep"]: r["new_rep"] for r in remap_df.collect()}
+               if removals else {})
+        return mr, rmp
+
+    # spawn gate bounds the COLLECT (mr_list <= n_new rows), not the
+    # fused decision itself — if the posterior gate still picks the
+    # distributed tail (edge blow-up), the side collect was bounded and
+    # merely unused
+    mr_future = _spawn(_mr_collect) \
+        if n_new <= cfg.add_cc_local_max_edges else None
+
     # -- candidates: new-vs-new ∪ new-vs-old ∪ touched suffix groups -----
     # Each branch is cut with an eager localCheckpoint before the union:
     # the branches build near-identical exchanges over the same staged
@@ -1014,6 +1035,40 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
                                strategy=attach_strategy,
                                broadcast_max_ids=cfg.verify_broadcast_max_ids,
                                materialize_slim=True)
+
+    # PREFETCH the endpoint-label lookup under the verify stage (guide
+    # §2.6): every verified edge endpoint is an endpoint of `capped`
+    # (edges = verify(capped) filtered), and the matched reps' promoted
+    # members are known from the mr collect — so the pruned id_index
+    # lookup the fused tail needs can run NOW, off the critical path,
+    # on the (slightly larger) capped-endpoint superset.  The side
+    # thread self-gates on the driver budget: past the bound it returns
+    # None and the tail falls back to the inline lookup / distributed
+    # path.  Probing a superset only ADDS rows for ids the tail then
+    # filters out — labels for non-edge endpoints are never read.
+    def _ep_prefetch():
+        if mr_future is None:
+            return None
+        mr_l, rmp = mr_future.result()
+        n_cap = capped.count()
+        if (2 * n_cap + n_new) > cfg.add_cc_local_max_edges:
+            return None  # collect would blow the driver budget
+        lreps = sorted({rmp.get(r, r) for r in mr_l})
+        cap_ids = (capped.select(F.col("a").alias("image_id"))
+                   .unionByName(capped.select(F.col("b")
+                                              .alias("image_id")))
+                   .distinct())
+        probe = cap_ids
+        if lreps:
+            probe = probe.unionByName(spark.createDataFrame(
+                [(i,) for i in lreps],
+                schema="image_id string")).distinct()
+        rows = lookup_id_index(spark, id_path, probe, cfg,
+                               idx_df=id_idx_df).collect()
+        _trace("fused: ep prefetch done")
+        return mr_l, rmp, rows
+
+    ep_future = _spawn(_ep_prefetch)
     new_edges = stage("verified_edges",
                       verify_pairs(attached, cfg).filter(F.col("dup"))
                       .select("a", "b", "src", "psnr", "caption_eq"))
@@ -1027,51 +1082,11 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
     # lookup (partition filter + IN-list row-group pruning) — neither
     # the stored clusters table nor any other corpus-sized relation is
     # scanned on this path.
-    t0 = time.time()
-    matched_reps = (new_groups
-                    .join(new_images.select(F.col("image_id")
-                                            .alias("rep_id")),
-                          "rep_id", "left_anti")
-                    .select("rep_id").distinct())  # old reps gaining members
-    # a matched group's founding rep may be tombstoned (group alive):
-    # its own id_index label is a stale null-or-old row, so the LABEL is
-    # read through the promoted surviving member instead (lrep), while
-    # group identity stays the founding node
-    if removals:
-        mr_map = (matched_reps
-                  .join(F.broadcast(remap_df.withColumnRenamed(
-                      "old_rep", "rep_id")), "rep_id", "left")
-                  .select("rep_id",
-                          F.coalesce("new_rep", "rep_id").alias("lrep"))
-                  .localCheckpoint())
-    else:
-        mr_map = matched_reps.select("rep_id",
-                                     F.col("rep_id").alias("lrep"))
-    endpoint_ids = (new_edges.select(F.col("a").alias("image_id"))
-                    .unionByName(new_edges.select(F.col("b")
-                                                  .alias("image_id")))
-                    .unionByName(mr_map.select(F.col("lrep")
-                                               .alias("image_id")))
-                    .distinct())
-    # endpoint labels via the id-keyed layout: pruned point lookup,
-    # O(new edges + matched reps) rows read — the stored clusters table
-    # is no longer scanned for this (only its pbucket-pruned affected
-    # partitions are read below).  The same lookup also resolves each
-    # old endpoint's FOUNDING group node (rep_id) for the edge_index
-    # delta below.
-    ep_info = (lookup_id_index(spark, id_path, endpoint_ids, cfg,
-                               idx_df=id_idx_df)
-               .localCheckpoint())  # small: O(new edges + matched reps)
-
-    # the edge_index delta needs only ep_info + the staged new_edges —
-    # not the CC/label/cluster work below — so its staging write runs on
-    # a side thread OVERLAPPING the whole labels->CC->delta chain
-    # (guide §2.6) instead of waiting for it in the final staging wave
     gen_file = os.path.join(checkpoint_dir, ID_GEN_FILE)
     new_gen = (int(pipe.fs.read_text(gen_file))
                if pipe.fs.exists(gen_file) else 0) + 1
 
-    def _c_edge():
+    def _c_edge_for(ep_info):
         # dedup-graph edge delta for the remove path's split
         # recomputation: endpoints translated to their FOUNDING group
         # nodes (old endpoints via the ep_info point lookup, new reps
@@ -1092,81 +1107,202 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
                   .distinct())
         stage_edge_append(fedges, staging, cfg)
 
-    edge_future = _spawn(_c_edge)
-    labels_live = ep_info.select("image_id",
-                                 F.col("cluster_id").alias("label"))
-    if removals:
-        # founding reps resolve their label via their promoted member
-        labels = (labels_live.unionByName(
-            mr_map.join(labels_live.withColumnRenamed("image_id",
-                                                      "lrep"), "lrep")
-            .select(F.col("rep_id").alias("image_id"), "label"))
-            .distinct())
-    else:
-        labels = labels_live
-    pipe._record("add_lookup_labels", labels, t0, skipped=False)
-    t0 = time.time()
-    lab_a = labels.select(F.col("image_id").alias("a"),
-                          F.col("label").alias("la"))
-    lab_b = labels.select(F.col("image_id").alias("b"),
-                          F.col("label").alias("lb"))
-    label_edges = (new_edges.select("a", "b")
-                   .join(F.broadcast(lab_a), "a", "left")
-                   .join(F.broadcast(lab_b), "b", "left")
-                   .select(F.coalesce("la", F.col("a")).alias("a"),
-                           F.coalesce("lb", F.col("b")).alias("b"))
-                   .filter(F.col("a") != F.col("b"))
-                   .distinct().localCheckpoint())
-    pipe._record("add_cc_edges", label_edges, t0, skipped=False)
-    n_label_edges = pipe.records[-1].rows_out
-    small_graph = n_label_edges <= cfg.add_cc_local_max_edges
-    if small_graph:
-        # small-graph fast path: the contracted graph is O(new edges);
-        # driver union-find beats O(log^2 n) distributed rounds of
-        # per-job latency at append sizes (identical min-member labels)
-        mapping = union_find([(r["a"], r["b"])
-                              for r in label_edges.collect()])
-        rep_cc = spark.createDataFrame(
-            sorted(mapping.items()),
-            schema="image_id string, cluster_id string")
-    else:
-        rep_cc = connected_components(label_edges).localCheckpoint()
-
-    # affected clusters: merged old labels ∪ clusters whose exact-groups
-    # gained members (their min MEMBER id — the label under the
-    # from-scratch normalization contract — may have changed)
-    t0 = time.time()
-    stored_labels = labels.select("label").distinct()
-    matched_rep_labels = (matched_reps
-                          .join(labels.withColumnRenamed("image_id",
-                                                         "rep_id"),
-                                "rep_id")
-                          .select("label"))
-    aff_expr = (rep_cc.select(F.col("image_id").alias("label"))
-                .join(stored_labels, "label", "left_semi")
-                .unionByName(matched_rep_labels)
-                .distinct())
-
     def _pb(col: str) -> "F.Column":
         return F.pmod(F.xxhash64(col), F.lit(cfg.cluster_buckets)) \
                 .cast("int")
 
-    if small_graph:
-        # the affected-label set is the same magnitude as the edge list
-        # union_find just collected (O(new edges + matched reps)), so
-        # ONE collect resolves labels AND their bucket set — instead of
-        # a localCheckpoint job followed by a buckets-only collect job
-        aff_rows = (aff_expr.select("label", _pb("label").alias("pb"))
-                    .collect())
-        aff_buckets = sorted({r["pb"] for r in aff_rows})
+    # FUSED small-add tail (guide §2.6 taken to its limit): the whole
+    # labels -> contracted-CC -> affected-set algebra operates on sets
+    # bounded by O(new edges + new rows) — the SAME magnitude the
+    # union-find fast path has always collected — yet the DataFrame form
+    # paid ~5 small jobs of latency (mr_map cut, ep_info cut, labels
+    # record, label_edges cut, affected collect).  When that bound fits
+    # the existing driver-CC budget, three collects (matched reps, the
+    # staged edge list, the pruned ep_info lookup) bring the inputs to
+    # the driver and plain dict/set algebra replaces the join chain —
+    # provably the same maps: get(x, x) IS coalesce over a left join,
+    # the set comprehension IS the distinct union.  Bulk adds past the
+    # bound keep the distributed DataFrame path verbatim below.
+    n_edges_rec = next(r.rows_out for r in reversed(pipe.records)
+                       if r.stage == "add_verified_edges")
+    fused_small = (n_edges_rec + n_new) <= cfg.add_cc_local_max_edges
+    if fused_small:
+        t0 = time.time()
+        prefetch = ep_future.result()
+        if prefetch is not None:
+            mr_list, remap, super_rows = prefetch
+        else:
+            mr_list, remap = (mr_future.result()
+                              if mr_future is not None else _mr_collect())
+            super_rows = None
+        _trace("fused: mr joined")
+        # a matched group's founding rep may be tombstoned (group
+        # alive): its own id_index label is a stale null-or-old row, so
+        # the LABEL is read through the promoted surviving member
+        # (lrep), while group identity stays the founding node
+        mr_pairs = [(r, remap.get(r, r)) for r in mr_list]
+        edge_rows = [(r["a"], r["b"]) for r in
+                     new_edges.select("a", "b").collect()]
+        _trace("fused: edges collected")
+        ep_ids = ({a for a, _ in edge_rows} | {b for _, b in edge_rows}
+                  | {l for _, l in mr_pairs})
+        if super_rows is not None:
+            # prefetched superset (capped endpoints ∪ lreps) ⊇ ep_ids:
+            # restricting the collected rows IS the direct lookup
+            ep_rows = [r for r in super_rows if r["image_id"] in ep_ids]
+        else:
+            ep_probe = spark.createDataFrame(
+                [(i,) for i in sorted(ep_ids)], schema="image_id string")
+            ep_rows = lookup_id_index(spark, id_path, ep_probe, cfg,
+                                      idx_df=id_idx_df).collect()
+        _trace("fused: ep_info collected")
+        ep_info = spark.createDataFrame(
+            [(r["image_id"], r["cluster_id"], r["is_rep"], r["rep_id"])
+             for r in ep_rows],
+            schema="image_id string, cluster_id string, "
+                   "is_rep boolean, rep_id string")
+        edge_future = _spawn(lambda: _c_edge_for(ep_info))
+        labels_live = {r["image_id"]: r["cluster_id"] for r in ep_rows}
+        labels_map = dict(labels_live)
+        if removals:
+            for rep, lrep in mr_pairs:
+                if lrep in labels_live:  # inner-join semantics
+                    labels_map[rep] = labels_live[lrep]
+        labels = spark.createDataFrame(
+            sorted(labels_map.items()),
+            schema="image_id string, label string")
+        pipe._record("add_lookup_labels", labels, t0, skipped=False)
+        t0 = time.time()
+        le_set = set()
+        for a, b in edge_rows:
+            la = labels_map.get(a, a)
+            lb = labels_map.get(b, b)
+            if la != lb:
+                le_set.add((la, lb))
+        label_edges = spark.createDataFrame(
+            sorted(le_set), schema="a string, b string")
+        pipe._record("add_cc_edges", label_edges, t0, skipped=False)
+        mapping = union_find(sorted(le_set))
+        rep_cc = spark.createDataFrame(
+            sorted(mapping.items()),
+            schema="image_id string, cluster_id string")
+        # affected clusters: merged old labels ∪ clusters whose
+        # exact-groups gained members (their min MEMBER id — the label
+        # under the from-scratch normalization contract — may change)
+        t0 = time.time()
+        stored_label_set = set(labels_map.values())
+        aff_set = {l for l in mapping if l in stored_label_set}
+        aff_set |= {labels_map[r] for r in mr_list if r in labels_map}
         aff_cl = spark.createDataFrame(
-            [(r["label"],) for r in aff_rows], schema="cluster_id string")
+            [(l,) for l in sorted(aff_set)], schema="cluster_id string")
+        # bucket ids via the SAME Spark hash expression the layout uses
+        # (xxhash64 is not reimplemented driver-side) — one LocalRelation
+        # job over O(affected) rows
+        aff_buckets = sorted(
+            {r["pb"] for r in
+             aff_cl.select(_pb("cluster_id").alias("pb")).collect()})
     else:
-        aff = aff_expr.localCheckpoint()
-        aff_buckets = sorted(r[0] for r in
-                             aff.select(_pb("label").alias("pb"))
-                             .distinct().collect())  # <= cluster_buckets
-        aff_cl = aff.withColumnRenamed("label", "cluster_id")
+        t0 = time.time()
+        matched_reps = mr_expr  # old reps gaining members
+        # a matched group's founding rep may be tombstoned (group
+        # alive): label read through the promoted surviving member
+        if removals:
+            mr_map = (matched_reps
+                      .join(F.broadcast(remap_df.withColumnRenamed(
+                          "old_rep", "rep_id")), "rep_id", "left")
+                      .select("rep_id",
+                              F.coalesce("new_rep", "rep_id")
+                              .alias("lrep"))
+                      .localCheckpoint())
+        else:
+            mr_map = matched_reps.select("rep_id",
+                                         F.col("rep_id").alias("lrep"))
+        endpoint_ids = (new_edges.select(F.col("a").alias("image_id"))
+                        .unionByName(new_edges.select(F.col("b")
+                                                      .alias("image_id")))
+                        .unionByName(mr_map.select(F.col("lrep")
+                                                   .alias("image_id")))
+                        .distinct())
+        # endpoint labels via the id-keyed layout: pruned point lookup,
+        # O(new edges + matched reps) rows read.  The same lookup also
+        # resolves each old endpoint's FOUNDING group node (rep_id) for
+        # the edge_index delta.
+        ep_info = (lookup_id_index(spark, id_path, endpoint_ids, cfg,
+                                   idx_df=id_idx_df)
+                   .localCheckpoint())  # O(new edges + matched reps)
+        # the edge_index delta needs only ep_info + the staged
+        # new_edges — its staging write overlaps the labels->CC->delta
+        # chain on a side thread (guide §2.6)
+        edge_future = _spawn(lambda: _c_edge_for(ep_info))
+        labels_live = ep_info.select("image_id",
+                                     F.col("cluster_id").alias("label"))
+        if removals:
+            # founding reps resolve their label via their promoted
+            # member
+            labels = (labels_live.unionByName(
+                mr_map.join(labels_live.withColumnRenamed("image_id",
+                                                          "lrep"),
+                            "lrep")
+                .select(F.col("rep_id").alias("image_id"), "label"))
+                .distinct())
+        else:
+            labels = labels_live
+        pipe._record("add_lookup_labels", labels, t0, skipped=False)
+        t0 = time.time()
+        lab_a = labels.select(F.col("image_id").alias("a"),
+                              F.col("label").alias("la"))
+        lab_b = labels.select(F.col("image_id").alias("b"),
+                              F.col("label").alias("lb"))
+        label_edges = (new_edges.select("a", "b")
+                       .join(F.broadcast(lab_a), "a", "left")
+                       .join(F.broadcast(lab_b), "b", "left")
+                       .select(F.coalesce("la", F.col("a")).alias("a"),
+                               F.coalesce("lb", F.col("b")).alias("b"))
+                       .filter(F.col("a") != F.col("b"))
+                       .distinct().localCheckpoint())
+        pipe._record("add_cc_edges", label_edges, t0, skipped=False)
+        n_label_edges = next(r.rows_out for r in reversed(pipe.records)
+                             if r.stage == "add_cc_edges")
+        small_graph = n_label_edges <= cfg.add_cc_local_max_edges
+        if small_graph:
+            # small contracted graph: driver union-find beats
+            # O(log^2 n) distributed rounds of per-job latency
+            # (identical min-member labels)
+            mapping = union_find([(r["a"], r["b"])
+                                  for r in label_edges.collect()])
+            rep_cc = spark.createDataFrame(
+                sorted(mapping.items()),
+                schema="image_id string, cluster_id string")
+        else:
+            rep_cc = connected_components(label_edges).localCheckpoint()
+
+        # affected clusters: merged old labels ∪ clusters whose
+        # exact-groups gained members
+        t0 = time.time()
+        stored_labels = labels.select("label").distinct()
+        matched_rep_labels = (matched_reps
+                              .join(labels.withColumnRenamed("image_id",
+                                                             "rep_id"),
+                                    "rep_id")
+                              .select("label"))
+        aff_expr = (rep_cc.select(F.col("image_id").alias("label"))
+                    .join(stored_labels, "label", "left_semi")
+                    .unionByName(matched_rep_labels)
+                    .distinct())
+        if small_graph:
+            # ONE collect resolves labels AND their bucket set
+            aff_rows = (aff_expr.select("label", _pb("label").alias("pb"))
+                        .collect())
+            aff_buckets = sorted({r["pb"] for r in aff_rows})
+            aff_cl = spark.createDataFrame(
+                [(r["label"],) for r in aff_rows],
+                schema="cluster_id string")
+        else:
+            aff = aff_expr.localCheckpoint()
+            aff_buckets = sorted(r[0] for r in
+                                 aff.select(_pb("label").alias("pb"))
+                                 .distinct().collect())
+            aff_cl = aff.withColumnRenamed("label", "cluster_id")
     # member rows of affected clusters ONLY, read under pbucket pruning
     aff_members = (clusters_stored
                    .filter(F.col("pbucket").isin(aff_buckets))
