@@ -261,6 +261,21 @@ def _remove_locked(spark: SparkSession, cfg: PipelineConfig,
     mem = members.join(minfo, "image_id").localCheckpoint()
     pipe._record("rm_members", mem, t0, skipped=False)
 
+    # PREFETCH the dedup-graph edge read (guide §2.6): the surviving
+    # nodes are a subset of ALL affected founding nodes, which are known
+    # the moment mem lands — so the pruned edge_index lookup runs on a
+    # side thread over the affected-node superset, overlapping the
+    # survivor cut and the sidecar chain; the CC step below restricts
+    # to edges with BOTH endpoints surviving, which is exactly
+    # lookup(surviving nodes) since surviving ⊆ affected.
+    def _edges_prefetch():
+        all_nodes = (mem.select(F.col("rep_id").alias("a")).distinct()
+                     .localCheckpoint())
+        return lookup_edges_among(spark, edge_path, all_nodes,
+                                  cfg).localCheckpoint()
+
+    edges_future = _spawn(_edges_prefetch)
+
     surv = mem.join(rm, "image_id", "left_anti").localCheckpoint()
     surv_groups = surv.select("rep_id").distinct()
 
@@ -296,11 +311,16 @@ def _remove_locked(spark: SparkSession, cfg: PipelineConfig,
 
     # -- connectivity: CC over surviving group nodes ---------------------
     # (a dying group's edges vanish — only then can a cluster split; the
-    # edge read partition-prunes on the surviving nodes' buckets)
+    # edge read was prefetched over the affected-node superset above and
+    # is restricted here to both-endpoints-surviving — identical to
+    # looking up the surviving nodes directly)
     t0 = time.time()
-    nodes = surv_groups.select(F.col("rep_id").alias("a")).localCheckpoint()
-    edges = lookup_edges_among(spark, edge_path, nodes,
-                               cfg).localCheckpoint()
+    e_sup = edges_future.result()
+    sn_a = surv_groups.withColumnRenamed("rep_id", "a")
+    sn_b = surv_groups.withColumnRenamed("rep_id", "b")
+    edges = (e_sup.join(F.broadcast(sn_a), "a", "left_semi")
+             .join(F.broadcast(sn_b), "b", "left_semi")
+             .localCheckpoint())
     pipe._record("rm_cc_edges", edges, t0, skipped=False)
     n_edges = pipe.records[-1].rows_out
     if n_edges <= cfg.add_cc_local_max_edges:
