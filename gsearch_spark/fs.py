@@ -36,13 +36,32 @@ from pyspark.sql import SparkSession
 
 
 def _strip_scheme(path: str) -> str:
-    """``file:/x`` / ``file:///x`` → ``/x`` (JVM listings hand back URIs)."""
+    """``file:/x`` / ``file:///x`` / ``file://host/x`` → ``/x`` (JVM
+    listings hand back URIs; an authority component, when present,
+    refers to this host for the local scheme and is dropped — never
+    folded into the path)."""
     if path.startswith("file:"):
         rest = path[5:]
-        while rest.startswith("//"):
-            rest = rest[1:]
+        if rest.startswith("//"):
+            # URI with authority: file://<authority>/path
+            cut = rest.find("/", 2)
+            rest = rest[cut:] if cut >= 0 else "/"
         return rest
     return path
+
+
+def _drop_stale_crc(p: str) -> None:
+    """Remove a Hadoop ChecksumFileSystem sidecar (``.<name>.crc``)
+    left beside ``p`` by a JVM-path write: the local fast path rewrites
+    file contents without updating the sidecar, and a later JVM-mode
+    read (``GSEARCH_FS_JVM=1``, or a checkpoint written by an older
+    release) would fail with ChecksumException on the stale sum."""
+    crc = os.path.join(os.path.dirname(p) or "/",
+                       "." + os.path.basename(p) + ".crc")
+    try:
+        os.remove(crc)
+    except OSError:
+        pass
 
 
 class CheckpointFS:
@@ -84,6 +103,7 @@ class CheckpointFS:
                 return True
             if os.path.lexists(p):
                 os.remove(p)
+                _drop_stale_crc(p)
                 return True
             return False
         return bool(self._fs.delete(self._p(path), True))
@@ -167,6 +187,7 @@ class CheckpointFS:
                 os.write(fd, text.encode("utf-8"))
             finally:
                 os.close(fd)
+            _drop_stale_crc(p)
             return True
         if not bool(self._fs.createNewFile(self._p(path))):
             return False
@@ -180,6 +201,7 @@ class CheckpointFS:
             os.makedirs(os.path.dirname(p) or "/", exist_ok=True)
             with open(p, "w", encoding="utf-8") as f:
                 f.write(text)
+            _drop_stale_crc(p)
             return
         out = self._fs.create(self._p(path), True)
         try:

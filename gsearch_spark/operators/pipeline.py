@@ -825,10 +825,17 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
     ((n_new, n_old, n_dead, n_all), n_clash,
      (nk, old_keys)) = _run_parallel(_chk_counts, _chk_clash,
                                      _mk_old_keys)
-    if n_all != n_old - n_dead + n_new:
-        raise ValueError("all_images must be exactly old ∪ new "
-                         "(minus removed rows)")
-    if n_clash:
+    if n_all != n_old - n_dead + n_new or n_clash:
+        # refusal path: don't leave the detached touched chain's jobs
+        # running into whatever the caller does after catching — join
+        # it best-effort before raising (its own error is secondary)
+        try:
+            touched_future.result()
+        except Exception:
+            pass
+        if n_all != n_old - n_dead + n_new:
+            raise ValueError("all_images must be exactly old ∪ new "
+                             "(minus removed rows)")
         raise ValueError("new_images contains ids already in the build")
 
     staging = pipe._path("_add_staging")
@@ -1132,8 +1139,10 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
         if prefetch is not None:
             mr_list, remap, super_rows = prefetch
         else:
-            mr_list, remap = (mr_future.result()
-                              if mr_future is not None else _mr_collect())
+            # fused_small implies n_new <= add_cc_local_max_edges — the
+            # exact mr_future spawn gate — so the future always exists
+            # here; only the ep prefetch may have self-gated out
+            mr_list, remap = mr_future.result()
             super_rows = None
         _trace("fused: mr joined")
         # a matched group's founding rep may be tombstoned (group
@@ -1162,7 +1171,14 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
             schema="image_id string, cluster_id string, "
                    "is_rep boolean, rep_id string")
         edge_future = _spawn(lambda: _c_edge_for(ep_info))
-        labels_live = {r["image_id"]: r["cluster_id"] for r in ep_rows}
+        # defensive None-guard: a NULL cluster_id (a "stale null-or-old
+        # row") must behave like an ABSENT label — the DataFrame path's
+        # coalesce(label, id) rescues it, so the dict must not store
+        # None (get(x, x) then rescues identically, and a None could
+        # never equi-join in the stored-label set either).  ep_info
+        # keeps the full row: its rep_id still serves the edge delta.
+        labels_live = {r["image_id"]: r["cluster_id"] for r in ep_rows
+                       if r["cluster_id"] is not None}
         labels_map = dict(labels_live)
         if removals:
             for rep, lrep in mr_pairs:
@@ -1202,6 +1218,15 @@ def _incremental_add_locked(spark: SparkSession, cfg: PipelineConfig,
             {r["pb"] for r in
              aff_cl.select(_pb("cluster_id").alias("pb")).collect()})
     else:
+        # the advisory prefetch future must not outlive this call (its
+        # detached jobs would run past commit/lock release and any
+        # exception would vanish): join it best-effort — for bulk adds
+        # it either never spawned the lookup (mr gate) or self-gated
+        # out after a cheap count, so this waits ~0 in practice
+        try:
+            ep_future.result()
+        except Exception:
+            pass  # advisory only; the inline path below is authoritative
         t0 = time.time()
         matched_reps = mr_expr  # old reps gaining members
         # a matched group's founding rep may be tombstoned (group

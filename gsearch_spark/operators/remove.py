@@ -277,7 +277,10 @@ def _remove_locked(spark: SparkSession, cfg: PipelineConfig,
     edges_future = _spawn(_edges_prefetch)
 
     surv = mem.join(rm, "image_id", "left_anti").localCheckpoint()
-    surv_groups = surv.select("rep_id").distinct()
+    # cut once: surv_groups serves the sidecar chain's anti-join AND
+    # both broadcast build sides of the CC edge restriction below —
+    # lazy, the distinct would recompute per consumer (3x)
+    surv_groups = surv.select("rep_id").distinct().localCheckpoint()
 
     # the dead-group / rep-remap sidecar chain consumes only mem + surv
     # (both checkpointed) — nothing from the CC recompute — so the whole
